@@ -1,0 +1,192 @@
+"""Exact dense top-k retrieval ops (the FAISS replacement).
+
+The reference scores queries against the corpus with a FAISS IVF-Flat scan
+(nprobe=64, approximate; /root/reference/src/lean_explore/search/engine.py:
+240-250). On TPU the idiomatic design is an *exact* tiled inner-product
+matmul over the HBM-resident corpus with a fused top-k — the MXU makes the
+full scan cheaper than IVF pruning, and exact search dominates IVF recall by
+construction.
+
+Two exact algorithms, both with static shapes (jit-stable):
+
+- ``chunked``: lax.scan over corpus chunks; per chunk matmul + top-k, merged
+  into a running [B, k] buffer. Never materializes [B, N]; best when B is
+  small or HBM is tight.
+
+- ``windowed``: one big matmul to [B, N], max-reduce over windows of W rows,
+  top-k over the N/W window maxima, gather the winning windows, final top-k
+  over [B, k*W]. Exactness: if x is in the global top-k, fewer than k scores
+  exceed x, so fewer than k windows have a maximum above x's window. Best
+  throughput at large B (BASELINE config 3's 128-query serving).
+
+Corpus embeddings may be bfloat16 (halves the HBM traffic that bounds this
+op) or float32 (bit-exact parity with faiss.IndexFlatIP).
+
+Padding: corpora are padded to tile multiples; rows >= n_valid are masked to
+-inf before any selection so pad rows can never enter the top-k.
+"""
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = float("-inf")
+
+Method = Literal["auto", "chunked", "windowed", "full"]
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-normalize to unit L2 norm (mirrors faiss.normalize_L2)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+def pad_rows(x, multiple: int):
+    """Zero-pad rows of [N, D] to a multiple; returns (padded, n_valid)."""
+    n = x.shape[0]
+    padded_n = ((n + multiple - 1) // multiple) * multiple
+    if padded_n != n:
+        x = jnp.pad(x, ((0, padded_n - n), (0, 0)))
+    return x, n
+
+
+def _scores_tile(q: jnp.ndarray, tile: jnp.ndarray) -> jnp.ndarray:
+    """[B, D] x [T, D] -> [B, T] inner products with f32 accumulation.
+
+    float32 corpora get HIGHEST precision (TPU default would round the
+    multiplicands to bf16, breaking FAISS-flat score parity); bfloat16
+    corpora — the bandwidth-optimal serving config — use the MXU natively.
+    """
+    precision = (
+        lax.Precision.HIGHEST if tile.dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
+    return lax.dot_general(
+        q.astype(tile.dtype),
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _chunked_topk(q, corpus, n_valid, *, k: int, chunk: int):
+    batch, _ = q.shape
+    padded_n, dim = corpus.shape
+    num_chunks = padded_n // chunk
+    tiles = corpus.reshape(num_chunks, chunk, dim)
+    k_chunk = min(k, chunk)
+
+    def step(carry, inputs):
+        best_scores, best_idx = carry
+        tile, chunk_start = inputs
+        scores = _scores_tile(q, tile)
+        col = chunk_start + lax.broadcasted_iota(jnp.int32, (batch, chunk), 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        tile_scores, tile_pos = lax.top_k(scores, k_chunk)
+        tile_idx = chunk_start + tile_pos.astype(jnp.int32)
+        cand_scores = jnp.concatenate([best_scores, tile_scores], axis=1)
+        cand_idx = jnp.concatenate([best_idx, tile_idx], axis=1)
+        best_scores, best_pos = lax.top_k(cand_scores, k)
+        best_idx = jnp.take_along_axis(cand_idx, best_pos, axis=1)
+        return (best_scores, best_idx), None
+
+    init = (
+        jnp.full((batch, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((batch, k), dtype=jnp.int32),
+    )
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = lax.scan(step, init, (tiles, starts))
+    return scores, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _windowed_topk(q, corpus, n_valid, *, k: int, window: int):
+    batch, _ = q.shape
+    padded_n = corpus.shape[0]
+    num_windows = padded_n // window
+
+    scores = _scores_tile(q, corpus)
+    col = lax.broadcasted_iota(jnp.int32, (batch, padded_n), 1)
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+
+    window_max = scores.reshape(batch, num_windows, window).max(axis=-1)
+    _, win_idx = lax.top_k(window_max, k)  # [B, k] winning windows
+
+    # Expand each winning window into its `window` member columns and gather.
+    member = (
+        win_idx[:, :, None] * window
+        + lax.broadcasted_iota(jnp.int32, (1, 1, window), 2)
+    ).reshape(batch, k * window)
+    gathered = jnp.take_along_axis(scores, member, axis=1)
+    out_scores, pos = lax.top_k(gathered, k)
+    out_idx = jnp.take_along_axis(member, pos, axis=1)
+    return out_scores, out_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _full_topk(q, corpus, n_valid, *, k: int):
+    batch = q.shape[0]
+    scores = _scores_tile(q, corpus)
+    col = lax.broadcasted_iota(jnp.int32, (batch, corpus.shape[0]), 1)
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+    out_scores, out_idx = lax.top_k(scores, k)
+    return out_scores, out_idx.astype(jnp.int32)
+
+
+def dense_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    *,
+    n_valid: int | jnp.ndarray | None = None,
+    method: Method = "auto",
+    chunk: int = 8192,
+    window: int = 16,
+):
+    """Exact top-k inner-product search.
+
+    Args:
+        queries: [B, D] query embeddings (any float dtype; accumulated f32).
+        corpus: [N, D] corpus embeddings, N padded or not (padding applied
+            here when needed).
+        k: Number of neighbors (clamped to n_valid).
+        n_valid: Number of real corpus rows; defaults to corpus.shape[0].
+        method: "chunked", "windowed", "full", or "auto".
+        chunk: Chunk rows for the scan method.
+        window: Window width for the windowed method.
+
+    Returns:
+        (scores [B, k] float32, indices [B, k] int32) sorted descending.
+        Indices are always < n_valid provided k <= n_valid.
+    """
+    if n_valid is None:
+        n_valid = corpus.shape[0]
+    static_n = int(n_valid) if not isinstance(n_valid, jax.core.Tracer) else None
+    if static_n is not None and k > static_n:
+        raise ValueError(f"k={k} exceeds corpus size {static_n}")
+
+    n = corpus.shape[0]
+    if method == "auto":
+        if n <= max(4 * k, 16384):
+            method = "full"
+        elif queries.shape[0] >= 8:
+            method = "windowed"
+        else:
+            method = "chunked"
+
+    n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+    if method == "full":
+        return _full_topk(queries, corpus, n_valid, k=k)
+    if method == "chunked":
+        corpus, _ = pad_rows(corpus, chunk)
+        return _chunked_topk(queries, corpus, n_valid, k=k, chunk=chunk)
+    if method == "windowed":
+        corpus, _ = pad_rows(corpus, window)
+        if k * window >= corpus.shape[0]:
+            return _full_topk(queries, corpus, n_valid, k=k)
+        return _windowed_topk(queries, corpus, n_valid, k=k, window=window)
+    raise ValueError(f"unknown method {method!r}")

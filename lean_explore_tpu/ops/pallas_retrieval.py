@@ -1,0 +1,168 @@
+"""Pallas fused retrieval kernel: corpus-tile matmul + masking + window max.
+
+One pass over the HBM-resident corpus computes, per tile, the query-corpus
+inner products (MXU), pad-row masking, and a max-reduction over windows of W
+corpus rows (VPU) — the scores never round-trip to HBM between those steps.
+The host-visible outputs feed the exact windowed top-k (see ops/dense.py for
+the exactness argument): top-k over window maxima, gather winning windows,
+final top-k.
+
+Layout choice: scores are produced *transposed* ([N, B] with corpus rows on
+the sublane axis) so the window reduction is a leading-axis reshape+max,
+which Mosaic lowers efficiently; a trailing-axis W-reshape would fight the
+(8,128) tiling.
+
+Replaces the FAISS IVF scan hot loop (reference search/engine.py:247-250).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _fused_kernel(window: int, tile_rows: int):
+    def kernel(n_valid_ref, q_ref, tile_ref, scores_ref, wmax_ref):
+        j = pl.program_id(0)
+        batch = q_ref.shape[0]
+        # [TN, D] x [B, D]^T -> [TN, B]; f32 accumulation on the MXU.
+        precision = (
+            lax.Precision.HIGHEST
+            if tile_ref.dtype == jnp.float32
+            else lax.Precision.DEFAULT
+        )
+        scores = lax.dot_general(
+            tile_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        row = j * tile_rows + lax.broadcasted_iota(
+            jnp.int32, (tile_rows, batch), 0
+        )
+        scores = jnp.where(row < n_valid_ref[0], scores, NEG_INF)
+        scores_ref[:] = scores
+        wmax_ref[:] = scores.reshape(tile_rows // window, window, batch).max(axis=1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "tile_rows", "interpret")
+)
+def fused_scores_wmax(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    window: int = 8,
+    tile_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Run the fused kernel over the whole corpus.
+
+    Args:
+        queries: [B, D]; cast to the corpus dtype for the MXU feed.
+        corpus: [N, D] with N % tile_rows == 0 (use ops.dense.pad_rows).
+        n_valid: scalar int32 count of real rows.
+        window: rows per max-window (tile_rows % window == 0).
+        tile_rows: corpus rows per grid step.
+        interpret: run in Pallas interpreter mode (CPU tests).
+
+    Returns:
+        (scores_t [N, B] f32, wmax_t [N/window, B] f32), both transposed.
+    """
+    n, dim = corpus.shape
+    batch = queries.shape[0]
+    if n % tile_rows != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
+    if tile_rows % window != 0:
+        raise ValueError(f"tile_rows {tile_rows} not a multiple of window {window}")
+    num_tiles = n // tile_rows
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((batch, dim), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, dim), lambda j, *_: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_rows, batch), lambda j, *_: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows // window, batch),
+                lambda j, *_: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    kernel = _fused_kernel(window, tile_rows)
+    scores_t, wmax_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, batch), jnp.float32),
+            jax.ShapeDtypeStruct((n // window, batch), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * batch * dim,
+            bytes_accessed=n * dim * corpus.dtype.itemsize
+            + n * batch * 4
+            + (n // window) * batch * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(n_valid, dtype=jnp.int32).reshape(1),
+        queries.astype(corpus.dtype),
+        corpus,
+    )
+    return scores_t, wmax_t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "window", "tile_rows", "interpret")
+)
+def pallas_windowed_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    k: int,
+    window: int = 8,
+    tile_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Exact top-k built on the fused kernel.
+
+    Same contract as ops.dense.dense_topk: (scores [B, k] f32, idx [B, k] i32),
+    descending, indices < n_valid for k <= n_valid.
+    """
+    batch = queries.shape[0]
+    scores_t, wmax_t = fused_scores_wmax(
+        queries,
+        corpus,
+        n_valid,
+        window=window,
+        tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    _, win_idx = lax.top_k(wmax_t.T, k)  # [B, k]
+    member = (
+        win_idx[:, :, None] * window
+        + lax.broadcasted_iota(jnp.int32, (1, 1, window), 2)
+    ).reshape(batch, k * window)
+    gathered = jnp.take_along_axis(scores_t, member.T, axis=0).T  # [B, k*window]
+    out_scores, pos = lax.top_k(gathered, k)
+    out_idx = jnp.take_along_axis(member, pos, axis=1)
+    return out_scores, out_idx

@@ -1,0 +1,163 @@
+"""Dense top-k retrieval: every method vs a numpy exact-search oracle.
+
+The oracle plays the role the reference's own index tests give
+faiss.IndexFlatIP (reference tests/extract/index_test.py:156-409): exact
+inner-product search on small random corpora.
+"""
+
+import numpy as np
+import pytest
+
+from lean_explore_tpu.ops import dense_topk, l2_normalize, pad_rows
+from tests.conftest import random_unit_rows
+
+
+def numpy_topk(queries: np.ndarray, corpus: np.ndarray, k: int):
+    """Exact inner-product top-k oracle (descending)."""
+    scores = queries.astype(np.float64) @ corpus.astype(np.float64).T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def assert_topk_matches(scores, idx, ref_scores, ref_idx, atol=1e-5):
+    """Score-level equality; id sets must agree up to ties at the k-th score."""
+    scores = np.asarray(scores, dtype=np.float64)
+    np.testing.assert_allclose(scores, ref_scores, atol=atol, rtol=1e-5)
+    for b in range(scores.shape[0]):
+        got, want = set(np.asarray(idx)[b]), set(ref_idx[b])
+        disagreement = got.symmetric_difference(want)
+        if disagreement:
+            # Only tied boundary scores may differ in id.
+            kth = ref_scores[b, -1]
+            corpus_scores = {i: ref_scores[b][list(ref_idx[b]).index(i)]
+                             for i in want if i in disagreement and i in want}
+            for s in corpus_scores.values():
+                assert abs(s - kth) < atol
+
+
+METHODS = ["full", "chunked", "windowed"]
+
+
+class TestDenseTopK:
+    @pytest.mark.parametrize("method", METHODS)
+    @pytest.mark.parametrize("n,b,k", [(500, 4, 10), (3000, 16, 100), (257, 1, 7)])
+    def test_matches_oracle(self, method, n, b, k):
+        corpus = random_unit_rows(n, 64, seed=n)
+        queries = random_unit_rows(b, 64, seed=n + 1)
+        scores, idx = dense_topk(
+            queries, corpus, k, method=method, chunk=256, window=8
+        )
+        ref_scores, ref_idx = numpy_topk(queries, corpus, k)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+    @pytest.mark.parametrize("method", METHODS)
+    def test_padding_never_selected(self, method):
+        """Corpus rows are padded with zeros; zero scores must not leak in
+        when all real scores are negative."""
+        rng = np.random.default_rng(3)
+        corpus = -np.abs(rng.standard_normal((100, 32))).astype(np.float32)
+        corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = np.abs(rng.standard_normal((2, 32))).astype(np.float32)
+        scores, idx = dense_topk(
+            queries, corpus, 50, method=method, chunk=64, window=8
+        )
+        assert np.asarray(idx).max() < 100
+        assert np.all(np.asarray(scores) < 0)
+
+    def test_k_too_large_raises(self):
+        corpus = random_unit_rows(10, 16)
+        queries = random_unit_rows(1, 16)
+        with pytest.raises(ValueError):
+            dense_topk(queries, corpus, 11)
+
+    def test_auto_method(self):
+        corpus = random_unit_rows(200, 32)
+        queries = random_unit_rows(3, 32)
+        scores, idx = dense_topk(queries, corpus, 5)
+        ref_scores, ref_idx = numpy_topk(queries, corpus, 5)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+    def test_bf16_corpus(self):
+        """bfloat16 corpus: same neighbor sets on well-separated data."""
+        import jax.numpy as jnp
+
+        corpus = random_unit_rows(400, 128, seed=11)
+        queries = corpus[:4] + 0.01 * random_unit_rows(4, 128, seed=12)
+        scores, idx = dense_topk(
+            jnp.asarray(queries), jnp.asarray(corpus, dtype=jnp.bfloat16), 1
+        )
+        assert np.array_equal(np.asarray(idx).ravel(), np.arange(4))
+
+    def test_scores_descending(self):
+        corpus = random_unit_rows(300, 32, seed=5)
+        queries = random_unit_rows(8, 32, seed=6)
+        scores, _ = dense_topk(queries, corpus, 20, method="chunked", chunk=128)
+        s = np.asarray(scores)
+        assert np.all(np.diff(s, axis=1) <= 1e-7)
+
+
+class TestHelpers:
+    def test_l2_normalize(self):
+        x = np.array([[3.0, 4.0], [0.0, 0.0]], dtype=np.float32)
+        out = np.asarray(l2_normalize(x))
+        np.testing.assert_allclose(out[0], [0.6, 0.8], atol=1e-6)
+        np.testing.assert_allclose(out[1], [0.0, 0.0], atol=1e-6)
+
+    def test_pad_rows(self):
+        x = np.ones((5, 3), dtype=np.float32)
+        padded, n = pad_rows(x, 4)
+        assert padded.shape == (8, 3)
+        assert n == 5
+        assert np.all(np.asarray(padded)[5:] == 0)
+
+    def test_pad_rows_noop(self):
+        x = np.ones((8, 3), dtype=np.float32)
+        padded, n = pad_rows(x, 4)
+        assert padded.shape == (8, 3)
+
+
+class TestPallasKernel:
+    """Interpreter-mode checks of the fused kernel (real-TPU runs in bench)."""
+
+    @pytest.mark.parametrize("n,b,k,window", [(512, 8, 16, 8), (2048, 4, 64, 16)])
+    def test_matches_oracle(self, n, b, k, window):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_windowed_topk
+
+        corpus = random_unit_rows(n, 128, seed=n)
+        queries = random_unit_rows(b, 128, seed=n + 1)
+        scores, idx = pallas_windowed_topk(
+            jnp.asarray(queries),
+            jnp.asarray(corpus),
+            n_valid=jnp.int32(n),
+            k=k,
+            window=window,
+            tile_rows=256,
+            interpret=True,
+        )
+        ref_scores, ref_idx = numpy_topk(queries, corpus, k)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+    def test_masks_padding(self):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import fused_scores_wmax
+
+        corpus = np.zeros((256, 128), dtype=np.float32)
+        corpus[:100] = random_unit_rows(100, 128, seed=9)
+        queries = random_unit_rows(2, 128, seed=10)
+        scores_t, wmax_t = fused_scores_wmax(
+            jnp.asarray(queries),
+            jnp.asarray(corpus),
+            jnp.int32(100),
+            window=8,
+            tile_rows=128,
+            interpret=True,
+        )
+        st = np.asarray(scores_t)
+        assert np.all(np.isneginf(st[100:]))
+        assert np.all(np.isfinite(st[:100]))
+        # window maxima for fully-padded windows are -inf
+        wm = np.asarray(wmax_t)
+        assert np.all(np.isneginf(wm[13:]))  # windows beyond ceil(100/8)=13
