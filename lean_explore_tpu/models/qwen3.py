@@ -1,0 +1,316 @@
+"""Qwen3 decoder trunk in pure JAX — the compute core of the embedder and
+reranker.
+
+Replaces the reference's torch model clients (sentence-transformers encoder,
+/root/reference/src/lean_explore/util/embedding_client.py:58-101; causal-LM
+reranker, util/reranker_client.py:71-141) with jitted, batched forward
+passes designed for the TPU:
+
+- Layer parameters are stacked along a leading axis and the trunk runs as a
+  single ``lax.scan`` — one compiled layer body regardless of depth.
+- Matmuls run in the param dtype (bfloat16 for serving) with f32
+  accumulation; RMSNorm/softmax/logits are computed in f32.
+- Positions are ``arange(T)`` irrespective of padding, matching HF
+  transformers' default ``position_ids`` handling so scores are comparable
+  with the reference's torch path for both right-padded (embedder) and
+  left-padded (reranker) batches.
+
+Architecture notes (Qwen3 family): GQA attention with per-head RMSNorm on Q
+and K before RoPE (q_norm/k_norm), rotate-half RoPE, SwiGLU MLP, optional
+tied LM head.
+"""
+
+import functools
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    """Shape/hyperparameter config (subset of HF config.json)."""
+
+    vocab_size: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    tie_word_embeddings: bool = True
+
+    @classmethod
+    def from_hf(cls, cfg: dict) -> "Qwen3Config":
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg["num_key_value_heads"],
+            head_dim=cfg.get(
+                "head_dim", cfg["hidden_size"] // cfg["num_attention_heads"]
+            ),
+            intermediate_size=cfg["intermediate_size"],
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 1_000_000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+
+    @classmethod
+    def from_dir(cls, path: str | Path) -> "Qwen3Config":
+        config_path = Path(path) / "config.json"
+        if not config_path.exists():
+            raise FileNotFoundError(
+                f"No HF model config at {config_path}. Pass a local directory "
+                "containing config.json + *.safetensors (model downloads are "
+                "not performed by this framework)."
+            )
+        with open(config_path) as f:
+            return cls.from_hf(json.load(f))
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "Qwen3Config":
+        """Small config for tests and compile checks."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            intermediate_size=128,
+        )
+
+
+# ----------------------------------------------------------------------
+# Parameter pytree
+# ----------------------------------------------------------------------
+#
+# {
+#   "embed":      [V, H]
+#   "layers": {                        (leading axis = layer, scanned)
+#     "input_norm":   [L, H]
+#     "q_proj":       [L, H, NH*DH]    (transposed from HF [out, in])
+#     "k_proj":       [L, H, NKV*DH]
+#     "v_proj":       [L, H, NKV*DH]
+#     "o_proj":       [L, NH*DH, H]
+#     "q_norm":       [L, DH]
+#     "k_norm":       [L, DH]
+#     "post_norm":    [L, H]
+#     "gate_proj":    [L, H, I]
+#     "up_proj":      [L, H, I]
+#     "down_proj":    [L, I, H]
+#   }
+#   "final_norm": [H]
+#   "lm_head":    [H, V] or None (tied -> embed.T used)
+# }
+
+
+def init_params(config: Qwen3Config, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-normal initialized params (tests, compile checks, training)."""
+    keys = iter(jax.random.split(key, 16))
+    h, dh = config.hidden_size, config.head_dim
+    nq, nkv = config.num_attention_heads, config.num_key_value_heads
+    inter, layers = config.intermediate_size, config.num_hidden_layers
+
+    def w(key, *shape, scale=0.02):
+        return (jax.random.normal(key, shape, dtype=jnp.float32) * scale).astype(
+            dtype
+        )
+
+    params = {
+        "embed": w(next(keys), config.vocab_size, h),
+        "layers": {
+            "input_norm": jnp.ones((layers, h), dtype=dtype),
+            "q_proj": w(next(keys), layers, h, nq * dh),
+            "k_proj": w(next(keys), layers, h, nkv * dh),
+            "v_proj": w(next(keys), layers, h, nkv * dh),
+            "o_proj": w(next(keys), layers, nq * dh, h),
+            "q_norm": jnp.ones((layers, dh), dtype=dtype),
+            "k_norm": jnp.ones((layers, dh), dtype=dtype),
+            "post_norm": jnp.ones((layers, h), dtype=dtype),
+            "gate_proj": w(next(keys), layers, h, inter),
+            "up_proj": w(next(keys), layers, h, inter),
+            "down_proj": w(next(keys), layers, inter, h),
+        },
+        "final_norm": jnp.ones((h,), dtype=dtype),
+        "lm_head": None
+        if config.tie_word_embeddings
+        else w(next(keys), h, config.vocab_size),
+    }
+    return params
+
+
+def _rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    scale = lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * weight
+
+
+def _rope_tables(config: Qwen3Config, seq_len: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [T, DH] (rotate-half convention, f32)."""
+    dh = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (np.arange(0, dh, 2, dtype=np.float64) / dh)
+    )
+    angles = np.arange(seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    emb = np.concatenate([angles, angles], axis=-1)
+    return jnp.asarray(np.cos(emb), jnp.float32), jnp.asarray(np.sin(emb), jnp.float32)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    # x: [B, T, N, DH]; cos/sin: [T, DH]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + _rotate_half(x) * s
+
+
+def _attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """GQA attention. q: [B,T,NQ,DH], k/v: [B,T,NKV,DH], bias: [B,1,T,T]."""
+    b, t, nq, dh = q.shape
+    nkv = k.shape[2]
+    group = nq // nkv
+    qg = q.reshape(b, t, nkv, group, dh)
+    scores = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
+    ) * (dh**-0.5)
+    scores = scores + bias[:, :, None, :, :]  # [B,NKV,G,T,T] broadcast over (k,g)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v)
+    return out.reshape(b, t, nq * dh)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def forward_hidden(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Trunk forward: [B, T] ids + 0/1 mask -> final-norm hidden [B, T, H]."""
+    batch, seq = input_ids.shape
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    cos, sin = _rope_tables(config, seq)
+
+    causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+    valid_key = attention_mask.astype(bool)[:, None, None, :]  # [B,1,1,T]
+    allowed = causal[None, None, :, :] & valid_key
+    bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)  # [B,1,T,T]
+
+    nq, nkv, dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    eps = config.rms_norm_eps
+
+    def layer(x, p):
+        h = _rms_norm(x, p["input_norm"], eps)
+        q = (h @ p["q_proj"]).reshape(batch, seq, nq, dh)
+        k = (h @ p["k_proj"]).reshape(batch, seq, nkv, dh)
+        v = (h @ p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q = _rms_norm(q, p["q_norm"], eps)
+        k = _rms_norm(k, p["k_norm"], eps)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        attn = _attention(q, k, v, bias) @ p["o_proj"]
+        x = x + attn
+        h = _rms_norm(x, p["post_norm"], eps)
+        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        return x + mlp, None
+
+    x, _ = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
+    return _rms_norm(x, params["final_norm"], eps)
+
+
+def _last_valid_index(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Index of the last 1 in each mask row (padding-side agnostic)."""
+    seq = attention_mask.shape[1]
+    positions = jnp.arange(seq)[None, :]
+    return jnp.max(
+        jnp.where(attention_mask.astype(bool), positions, -1), axis=1
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def embed_pool(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Embedding forward: last-valid-token hidden state, L2-normalized [B, H].
+
+    Matches Qwen3-Embedding's last-token pooling + normalize (the
+    sentence-transformers module stack the reference relies on).
+    """
+    hidden = forward_hidden(params, config, input_ids, attention_mask)
+    last = _last_valid_index(attention_mask)
+    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+    pooled = pooled.astype(jnp.float32)
+    return pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+    )
+
+
+def _lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    return (hidden.astype(jnp.float32) @ head.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def last_token_logits(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Logits at the last valid position only [B, V] (f32).
+
+    Computing the head on one position instead of all T avoids the [B, T, V]
+    logits tensor the reference's torch path materializes
+    (reranker_client.py:127)."""
+    hidden = forward_hidden(params, config, input_ids, attention_mask)
+    last = _last_valid_index(attention_mask)
+    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+    return _lm_head(params, pooled)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "token_true", "token_false"))
+def rerank_scores(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    *,
+    token_true: int,
+    token_false: int,
+) -> jnp.ndarray:
+    """P("true") from the last-token true/false logits [B] (f32).
+
+    Softmax over the two logits, exactly the reference's scoring
+    (reranker_client.py:129-138)."""
+    logits = last_token_logits(params, config, input_ids, attention_mask)
+    pair = jnp.stack(
+        [logits[:, token_false], logits[:, token_true]], axis=1
+    )
+    return jax.nn.softmax(pair, axis=1)[:, 1]

@@ -7,12 +7,18 @@ bench.py and tests marked ``tpu``.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon: tests never touch the chip
+# The axon sitecustomize force-prepends the TPU platform to jax_platforms,
+# ignoring JAX_PLATFORMS=cpu from the environment. Tests must never touch the
+# chip, so set the XLA flag first, then override the jax config directly.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import json
 
