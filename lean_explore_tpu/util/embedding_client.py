@@ -1,0 +1,158 @@
+"""Embedding client: batched JAX Qwen3 forward passes.
+
+Drop-in behavioral replacement for the reference's sentence-transformers
+client (/root/reference/src/lean_explore/util/embedding_client.py:29-106):
+same ``embed(texts, is_query) -> EmbeddingResponse`` surface, same
+asymmetric query prompt, env-overridable batch size — but the forward pass
+is a jitted bf16 JAX program with bucketed padding instead of a torch
+``encode`` loop.
+"""
+
+import asyncio
+import json
+import logging
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel
+
+from lean_explore_tpu.models import qwen3 as qwen3_mod
+from lean_explore_tpu.models.hf_loader import load_params
+from lean_explore_tpu.models.tokenizer import encode_batch, load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BATCH_SIZE = 64
+
+# Qwen3-Embedding's published asymmetric query prompt (the value
+# sentence-transformers reads from config_sentence_transformers.json when the
+# reference passes prompt_name="query", embedding_client.py:90-99).
+DEFAULT_QUERY_PROMPT = (
+    "Instruct: Given a web search query, retrieve relevant passages that "
+    "answer the query\nQuery: "
+)
+
+
+class EmbeddingResponse(BaseModel):
+    """Response from embedding generation (schema parity with reference)."""
+
+    texts: list[str]
+    embeddings: list[list[float]]
+    model: str
+
+
+def _read_query_prompt(model_dir: Path) -> str:
+    """Prefer the checkpoint's own sentence-transformers prompt config."""
+    cfg = model_dir / "config_sentence_transformers.json"
+    if cfg.exists():
+        try:
+            prompts = json.loads(cfg.read_text()).get("prompts", {})
+            if "query" in prompts:
+                return prompts["query"]
+        except (json.JSONDecodeError, OSError):
+            logger.warning("Unreadable %s; using default query prompt", cfg)
+    return DEFAULT_QUERY_PROMPT
+
+
+class EmbeddingClient:
+    """Client for generating text embeddings on TPU."""
+
+    def __init__(
+        self,
+        model_name: str,
+        *,
+        model_dir: str | Path | None = None,
+        max_length: int | None = 512,
+        batch_size: int | None = None,
+        dtype: str = "bfloat16",
+        query_prompt: str | None = None,
+        append_eos: bool = True,
+    ):
+        """Load tokenizer + params and prepare the jitted forward.
+
+        Args:
+            model_name: HF id (reporting) or a local directory path.
+            model_dir: Local checkpoint directory; defaults to model_name when
+                that is an existing path, else $LEAN_EXPLORE_MODELS_DIR/<name>.
+            max_length: Token truncation length (reference engine.py:135).
+            batch_size: Device batch; falls back to
+                LEAN_EXPLORE_EMBEDDING_BATCH_SIZE env, then 64 (TPU default).
+            dtype: Parameter dtype on device (bfloat16 serving, float32 parity).
+            query_prompt: Override the asymmetric query prefix.
+            append_eos: Append EOS before pooling (Qwen3 embedding convention).
+        """
+        self.model_name = model_name
+        resolved = Path(model_dir) if model_dir else _resolve_model_dir(model_name)
+        self.model_dir = resolved
+        self.max_length = max_length or 512
+        self.batch_size = batch_size or int(
+            os.getenv("LEAN_EXPLORE_EMBEDDING_BATCH_SIZE", DEFAULT_BATCH_SIZE)
+        )
+        self.append_eos = append_eos
+        logger.info("Loading embedding model %s from %s", model_name, resolved)
+        self.tokenizer = load_tokenizer(resolved)
+        self.params, self.config = load_params(resolved, dtype=jnp.dtype(dtype))
+        self.query_prompt = (
+            query_prompt if query_prompt is not None else _read_query_prompt(resolved)
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.config.hidden_size
+
+    def embed_sync(self, texts: list[str], is_query: bool = False) -> np.ndarray:
+        """Embed texts -> float32 [len(texts), H], L2-normalized."""
+        if not texts:
+            return np.zeros((0, self.config.hidden_size), dtype=np.float32)
+        prompted = (
+            [self.query_prompt + t for t in texts] if is_query else list(texts)
+        )
+        out: list[np.ndarray] = []
+        for start in range(0, len(prompted), self.batch_size):
+            chunk = prompted[start : start + self.batch_size]
+            batch = encode_batch(
+                self.tokenizer,
+                chunk,
+                max_length=self.max_length,
+                append_eos=self.append_eos,
+            )
+            emb = qwen3_mod.embed_pool(
+                self.params,
+                self.config,
+                jnp.asarray(batch.input_ids),
+                jnp.asarray(batch.attention_mask),
+            )
+            out.append(np.asarray(emb)[: batch.n_valid])
+        return np.concatenate(out, axis=0)
+
+    async def embed(
+        self, texts: list[str], is_query: bool = False
+    ) -> EmbeddingResponse:
+        """Async wrapper matching the reference surface (embedding_client.py:73)."""
+        embeddings = await asyncio.to_thread(self.embed_sync, texts, is_query)
+        return EmbeddingResponse(
+            texts=list(texts),
+            embeddings=[row.tolist() for row in embeddings],
+            model=self.model_name,
+        )
+
+
+def _resolve_model_dir(model_name: str) -> Path:
+    """Resolve a model id to a local directory (no downloads in this env)."""
+    direct = Path(model_name)
+    if direct.exists():
+        return direct
+    root = os.getenv("LEAN_EXPLORE_MODELS_DIR")
+    if root:
+        candidate = Path(root) / model_name.replace("/", "--")
+        if candidate.exists():
+            return candidate
+        candidate = Path(root) / model_name.split("/")[-1]
+        if candidate.exists():
+            return candidate
+    raise FileNotFoundError(
+        f"Model {model_name!r} not found locally. Set LEAN_EXPLORE_MODELS_DIR "
+        "to a directory containing the checkpoint, or pass model_dir."
+    )

@@ -1,0 +1,154 @@
+"""Cross-encoder reranker client: Qwen3-Reranker as a batched JAX forward.
+
+Behavioral replacement for the reference's torch causal-LM reranker
+(/root/reference/src/lean_explore/util/reranker_client.py:31-204): identical
+``<Instruct>/<Query>/<Document>`` pair formatting, identical last-token
+true/false softmax scoring, same response schema — run as a jitted bf16
+forward that computes the LM head only at the final position.
+"""
+
+import asyncio
+import logging
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel
+
+from lean_explore_tpu.models import qwen3 as qwen3_mod
+from lean_explore_tpu.models.hf_loader import load_params
+from lean_explore_tpu.models.tokenizer import encode_batch, load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_INSTRUCTION = "Find relevant Lean 4 math declarations"
+DEFAULT_BATCH_SIZE = 64
+
+
+class RerankerResponse(BaseModel):
+    """Response from a rerank operation (schema parity with reference)."""
+
+    query: str
+    scores: list[float]
+    model: str
+
+
+class RerankerClient:
+    """Scores query-document pairs with P("true") from a causal LM."""
+
+    def __init__(
+        self,
+        model_name: str = "Qwen/Qwen3-Reranker-0.6B",
+        *,
+        model_dir: str | Path | None = None,
+        max_length: int = 512,
+        instruction: str = DEFAULT_INSTRUCTION,
+        batch_size: int | None = None,
+        dtype: str = "bfloat16",
+    ):
+        """Load tokenizer + params.
+
+        Args:
+            model_name: HF id (reporting) or local path.
+            model_dir: Local checkpoint directory (see EmbeddingClient).
+            max_length: Pair truncation length (engine passes 256).
+            instruction: Task instruction in the pair template.
+            batch_size: Falls back to LEAN_EXPLORE_RERANKER_BATCH_SIZE env,
+                then 64 (TPU default; reference uses 16 CUDA / 32 CPU).
+            dtype: Parameter dtype on device.
+        """
+        from lean_explore_tpu.util.embedding_client import _resolve_model_dir
+
+        self.model_name = model_name
+        resolved = Path(model_dir) if model_dir else _resolve_model_dir(model_name)
+        self.model_dir = resolved
+        self.max_length = max_length
+        self.instruction = instruction
+        env_batch = os.getenv("LEAN_EXPLORE_RERANKER_BATCH_SIZE")
+        self.batch_size = batch_size or (
+            int(env_batch) if env_batch else DEFAULT_BATCH_SIZE
+        )
+        logger.info("Loading reranker model %s from %s", model_name, resolved)
+        self.tokenizer = load_tokenizer(resolved)
+        self.params, self.config = load_params(resolved, dtype=jnp.dtype(dtype))
+        self.token_true_id = self.tokenizer.convert_tokens_to_ids("true")
+        self.token_false_id = self.tokenizer.convert_tokens_to_ids("false")
+        if self.token_true_id is None or self.token_false_id is None:
+            raise ValueError(
+                f"Tokenizer at {resolved} lacks 'true'/'false' tokens required "
+                "for reranker scoring."
+            )
+
+    def _format_pair(self, query: str, document: str) -> str:
+        """Reference pair template (reranker_client.py:96-108)."""
+        return (
+            f"<Instruct>: {self.instruction}\n<Query>: {query}\n"
+            f"<Document>: {document}"
+        )
+
+    def _score_batch(self, pairs: list[str]) -> np.ndarray:
+        batch = encode_batch(self.tokenizer, pairs, max_length=self.max_length)
+        scores = qwen3_mod.rerank_scores(
+            self.params,
+            self.config,
+            jnp.asarray(batch.input_ids),
+            jnp.asarray(batch.attention_mask),
+            token_true=int(self.token_true_id),
+            token_false=int(self.token_false_id),
+        )
+        return np.asarray(scores)[: batch.n_valid]
+
+    def rerank_sync(self, query: str, documents: list[str]) -> RerankerResponse:
+        """Score documents against the query synchronously."""
+        if not documents:
+            return RerankerResponse(query=query, scores=[], model=self.model_name)
+        pairs = [self._format_pair(query, d) for d in documents]
+        all_scores: list[float] = []
+        for start in range(0, len(pairs), self.batch_size):
+            all_scores.extend(
+                float(s) for s in self._score_batch(pairs[start : start + self.batch_size])
+            )
+        return RerankerResponse(query=query, scores=all_scores, model=self.model_name)
+
+    def rerank_pairs_sync(
+        self, queries: list[str], documents: list[str]
+    ) -> list[float]:
+        """Score pairs where each document has its own query.
+
+        TPU-first extension used by the batched engine: pairs from *different*
+        queries share device batches, so a 128-query step runs one padded
+        forward instead of 128 small ones.
+        """
+        if len(queries) != len(documents):
+            raise ValueError("queries and documents must align")
+        if not documents:
+            return []
+        pairs = [self._format_pair(q, d) for q, d in zip(queries, documents)]
+        scores: list[float] = []
+        for start in range(0, len(pairs), self.batch_size):
+            scores.extend(
+                float(s)
+                for s in self._score_batch(pairs[start : start + self.batch_size])
+            )
+        return scores
+
+    async def rerank_pairs(
+        self, queries: list[str], documents: list[str]
+    ) -> list[float]:
+        return await asyncio.to_thread(self.rerank_pairs_sync, queries, documents)
+
+    async def rerank(
+        self,
+        query: str,
+        documents: list[str],
+        batch_size: int | None = None,
+    ) -> RerankerResponse:
+        """Async surface matching the reference (reranker_client.py:164-204)."""
+        if batch_size is not None:
+            saved, self.batch_size = self.batch_size, batch_size
+            try:
+                return await asyncio.to_thread(self.rerank_sync, query, documents)
+            finally:
+                self.batch_size = saved
+        return await asyncio.to_thread(self.rerank_sync, query, documents)
