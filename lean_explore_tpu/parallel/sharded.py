@@ -1,0 +1,152 @@
+"""Corpus-sharded exact dense retrieval over a device mesh.
+
+BASELINE config 5: corpus embedding rows are sharded across the ``corpus``
+mesh axis, every device computes an exact local top-k over its shard
+(ops/dense chunked scan), the per-shard (scores, global indices) are
+``all_gather``-ed over ICI, and each device finishes with a k-way merge —
+the collective the reference has no analogue for (it is single-process;
+SURVEY.md §2c).
+
+Queries ride the ``data`` axis (DP): a (data=2, corpus=4) mesh serves two
+query sub-batches concurrently, each against the full corpus.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lean_explore_tpu.ops import l2_normalize
+from lean_explore_tpu.ops.dense import NEG_INF, _scores_tile
+
+
+def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
+    """Exact top-k over one corpus shard; indices are global rows."""
+    batch = q.shape[0]
+    rows = shard.shape[0]
+    num_chunks = max(rows // chunk, 1)
+    chunk = rows // num_chunks
+    tiles = shard.reshape(num_chunks, chunk, shard.shape[1])
+    k_chunk = min(k, chunk)
+
+    def step(carry, inputs):
+        best_s, best_i = carry
+        tile, start = inputs
+        scores = _scores_tile(q, tile)
+        col = row_offset + start + lax.broadcasted_iota(jnp.int32, (batch, chunk), 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        ts, tp = lax.top_k(scores, k_chunk)
+        ti = row_offset + start + tp.astype(jnp.int32)
+        cs = jnp.concatenate([best_s, ts], axis=1)
+        ci = jnp.concatenate([best_i, ti], axis=1)
+        best_s, pos = lax.top_k(cs, k)
+        best_i = jnp.take_along_axis(ci, pos, axis=1)
+        return (best_s, best_i), None
+
+    init = (
+        jnp.full((batch, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((batch, k), dtype=jnp.int32),
+    )
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = lax.scan(step, init, (tiles, starts))
+    return scores, idx
+
+
+def make_sharded_topk(mesh: Mesh, *, k: int, chunk: int = 8192):
+    """Build the jitted sharded top-k program for a mesh.
+
+    Returns fn(queries [B, D], corpus [N, D], n_valid) -> (scores, idx),
+    where B divides the ``data`` axis size and N the ``corpus`` axis size.
+    """
+    n_corpus = mesh.shape["corpus"]
+
+    def inner(q, corpus, n_valid):
+        shard_rows = corpus.shape[0]  # rows per device inside shard_map
+        shard_idx = lax.axis_index("corpus")
+        row_offset = shard_idx * shard_rows
+        local_s, local_i = _local_topk_chunked(
+            q, corpus, row_offset, n_valid[0], k=k, chunk=min(chunk, shard_rows)
+        )
+        # Merge across the corpus axis: gather every shard's candidates and
+        # re-select. Each candidate set is [B, k]; gathered [B, n_shards*k].
+        all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
+        all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
+        best_s, pos = lax.top_k(all_s, k)
+        best_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return best_s, best_i
+
+    mapped = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P("data", None), P("corpus", None), P()),
+        out_specs=(P("data", None), P("data", None)),
+        # The scan carry starts replicated and becomes device-varying after
+        # the first merge; skip the varying-manual-axes check.
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class ShardedDenseIndex:
+    """Mesh-sharded exact inner-product index.
+
+    The corpus matrix is padded so rows divide evenly across the ``corpus``
+    axis and placed with a row sharding; searches run the all-gather-merge
+    program above.
+    """
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        ids: np.ndarray,
+        mesh: Mesh,
+        *,
+        dtype: str = "float32",
+        chunk: int = 8192,
+    ):
+        if embeddings.shape[0] != len(ids):
+            raise ValueError("ids length must match embedding rows")
+        self.mesh = mesh
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.n = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        self.chunk = chunk
+
+        n_corpus = mesh.shape["corpus"]
+        padded = ((self.n + n_corpus - 1) // n_corpus) * n_corpus
+        mat = np.zeros((max(padded, n_corpus), self.dim), dtype=np.float32)
+        mat[: self.n] = np.asarray(embeddings, dtype=np.float32)
+        norms = np.linalg.norm(mat[: self.n], axis=1, keepdims=True)
+        mat[: self.n] /= np.maximum(norms, 1e-12)
+
+        sharding = NamedSharding(mesh, P("corpus", None))
+        self.embeddings = jax.device_put(
+            jnp.asarray(mat, dtype=jnp.dtype(dtype)), sharding
+        )
+        self._topk_fns: dict[int, object] = {}
+
+    def search(self, query_embeddings, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k across all shards; returns (scores, declaration ids)."""
+        k = min(k, self.n)
+        q = l2_normalize(jnp.asarray(np.asarray(query_embeddings), jnp.float32))
+        n_data = self.mesh.shape["data"]
+        batch = q.shape[0]
+        padded_batch = ((batch + n_data - 1) // n_data) * n_data
+        if padded_batch != batch:
+            q = jnp.pad(q, ((0, padded_batch - batch), (0, 0)))
+        q = jax.device_put(q, NamedSharding(self.mesh, P("data", None)))
+
+        fn = self._topk_fns.get(k)
+        if fn is None:
+            fn = make_sharded_topk(self.mesh, k=k, chunk=self.chunk)
+            self._topk_fns[k] = fn
+        scores, idx = fn(
+            q, self.embeddings, jnp.asarray([self.n], dtype=jnp.int32)
+        )
+        scores = np.asarray(jax.device_get(scores))[:batch]
+        idx = np.asarray(jax.device_get(idx))[:batch]
+        return scores, self.ids[idx]

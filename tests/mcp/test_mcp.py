@@ -1,0 +1,313 @@
+"""MCP layer tests: protocol unit tests + a stdio subprocess end-to-end run."""
+
+import asyncio
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from lean_explore_tpu.mcp.jsonrpc import McpServer
+from lean_explore_tpu.models import SearchResponse, SearchResult
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def _result_of(response):
+    assert "error" not in response, response
+    return response["result"]
+
+
+class TestProtocol:
+    @pytest.fixture
+    def server(self):
+        server = McpServer(name="TestServer", version="0.0.1", instructions="hi")
+
+        @server.tool(
+            name="echo",
+            description="echo text",
+            input_schema={
+                "type": "object",
+                "properties": {"text": {"type": "string"}},
+                "required": ["text"],
+            },
+        )
+        async def echo(text):
+            return {"echoed": text}
+
+        @server.tool(
+            name="boom", description="always fails", input_schema={"type": "object"}
+        )
+        async def boom():
+            raise RuntimeError("kaput")
+
+        return server
+
+    def test_initialize(self, server):
+        resp = run(server.handle_message({"jsonrpc": "2.0", "id": 1, "method": "initialize"}))
+        result = _result_of(resp)
+        assert result["serverInfo"]["name"] == "TestServer"
+        assert result["instructions"] == "hi"
+        assert "tools" in result["capabilities"]
+
+    def test_notification_no_response(self, server):
+        assert run(
+            server.handle_message(
+                {"jsonrpc": "2.0", "method": "notifications/initialized"}
+            )
+        ) is None
+
+    def test_tools_list(self, server):
+        resp = run(server.handle_message({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}))
+        tools = _result_of(resp)["tools"]
+        assert {t["name"] for t in tools} == {"echo", "boom"}
+        assert tools[0]["inputSchema"]["type"] == "object"
+
+    def test_tools_call(self, server):
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 3,
+                    "method": "tools/call",
+                    "params": {"name": "echo", "arguments": {"text": "hello"}},
+                }
+            )
+        )
+        result = _result_of(resp)
+        assert result["isError"] is False
+        assert json.loads(result["content"][0]["text"]) == {"echoed": "hello"}
+        assert result["structuredContent"] == {"echoed": "hello"}
+
+    def test_tool_error_in_band(self, server):
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 4,
+                    "method": "tools/call",
+                    "params": {"name": "boom", "arguments": {}},
+                }
+            )
+        )
+        result = _result_of(resp)
+        assert result["isError"] is True
+        assert "kaput" in result["content"][0]["text"]
+
+    def test_unknown_tool(self, server):
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 5,
+                    "method": "tools/call",
+                    "params": {"name": "nope"},
+                }
+            )
+        )
+        assert resp["error"]["code"] == -32602
+
+    def test_unknown_method(self, server):
+        resp = run(server.handle_message({"jsonrpc": "2.0", "id": 6, "method": "bogus"}))
+        assert resp["error"]["code"] == -32601
+
+    def test_bad_arguments(self, server):
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 7,
+                    "method": "tools/call",
+                    "params": {"name": "echo", "arguments": {"wrong": 1}},
+                }
+            )
+        )
+        assert resp["error"]["code"] == -32602
+
+    def test_ping(self, server):
+        resp = run(server.handle_message({"jsonrpc": "2.0", "id": 8, "method": "ping"}))
+        assert _result_of(resp) == {}
+
+
+class FakeBackend:
+    """Async backend double with the Service surface."""
+
+    def __init__(self):
+        self.result = SearchResult(
+            id=7,
+            name="Nat.add",
+            module="Init.Nat",
+            docstring="adds",
+            source_text="def Nat.add",
+            source_link="https://x",
+            dependencies='["Nat"]',
+            informalization="**Addition.** adds naturals",
+        )
+
+    async def search(self, query, limit, rerank_top, packages):
+        return SearchResponse(
+            query=query, results=[self.result], count=1, processing_time_ms=3
+        )
+
+    async def get_by_id(self, declaration_id):
+        return self.result if declaration_id == 7 else None
+
+
+class TestTools:
+    @pytest.fixture(autouse=True)
+    def backend(self):
+        from lean_explore_tpu.mcp import tools  # noqa: F401 — register
+        from lean_explore_tpu.mcp import app
+
+        app.set_backend_service(FakeBackend())
+        yield
+        app._backend_service = None
+
+    def test_all_eight_registered(self):
+        from lean_explore_tpu.mcp.app import mcp_app
+
+        assert {
+            "search",
+            "search_summary",
+            "get_source_code",
+            "get_source_link",
+            "get_docstring",
+            "get_description",
+            "get_module",
+            "get_dependencies",
+        } <= set(mcp_app.tools)
+
+    def test_search(self):
+        from lean_explore_tpu.mcp import tools
+
+        out = run(tools.search(query="nat add"))
+        assert out["count"] == 1
+        assert out["results"][0]["name"] == "Nat.add"
+
+    def test_search_summary_slim(self):
+        from lean_explore_tpu.mcp import tools
+
+        out = run(tools.search_summary(query="nat add"))
+        assert out["results"][0] == {
+            "id": 7,
+            "name": "Nat.add",
+            "description": "Addition.",
+        }
+        assert "source_text" not in json.dumps(out)
+
+    def test_field_getters(self):
+        from lean_explore_tpu.mcp import tools
+
+        assert run(tools.get_source_code(declaration_id=7))["source_text"] == "def Nat.add"
+        assert run(tools.get_source_link(declaration_id=7))["source_link"] == "https://x"
+        assert run(tools.get_docstring(declaration_id=7))["docstring"] == "adds"
+        assert (
+            run(tools.get_description(declaration_id=7))["informalization"]
+            == "**Addition.** adds naturals"
+        )
+        assert run(tools.get_module(declaration_id=7))["module"] == "Init.Nat"
+        assert run(tools.get_dependencies(declaration_id=7))["dependencies"] == '["Nat"]'
+
+    def test_missing_id_returns_none(self):
+        from lean_explore_tpu.mcp import tools
+
+        assert run(tools.get_source_code(declaration_id=999)) is None
+
+
+@pytest.mark.integration
+class TestStdioEndToEnd:
+    def test_subprocess_session(self, tmp_path):
+        """Full stdio session against a BM25-only artifact set (no model
+        weights needed: no embeddings -> semantic stage skipped;
+        rerank_top=0 -> no reranker)."""
+        from lean_explore_tpu.index import build_index_artifacts
+        from lean_explore_tpu.models import DeclarationStore
+        from tests.conftest import make_declaration
+
+        store = DeclarationStore(tmp_path / "declarations.db", create=True)
+        store.insert_many(
+            [
+                make_declaration("Nat.add", "Init.Nat"),
+                make_declaration("List.map", "Init.List"),
+            ]
+        )
+        build_index_artifacts(store, tmp_path)
+        store.close()
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # no axon registration
+        env.pop("JAX_PLATFORMS", None)  # default to cpu
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "lean_explore_tpu.mcp.server",
+                "--backend",
+                "local",
+                "--data-dir",
+                str(tmp_path),
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        messages = [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+            {
+                "jsonrpc": "2.0",
+                "id": 3,
+                "method": "tools/call",
+                "params": {
+                    "name": "search_summary",
+                    "arguments": {"query": "Nat.add", "rerank_top": 0},
+                },
+            },
+            {
+                "jsonrpc": "2.0",
+                "id": 4,
+                "method": "tools/call",
+                "params": {"name": "get_module", "arguments": {"declaration_id": 1}},
+            },
+        ]
+        stdin_payload = "".join(json.dumps(m) + "\n" for m in messages)
+        try:
+            stdout, stderr = proc.communicate(stdin_payload, timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+        lines = [json.loads(line) for line in stdout.splitlines() if line.strip()]
+        by_id = {msg["id"]: msg for msg in lines}
+        assert by_id[1]["result"]["serverInfo"]["name"] == "LeanExploreMCPServer"
+        assert len(by_id[2]["result"]["tools"]) == 8
+        search_out = json.loads(by_id[3]["result"]["content"][0]["text"])
+        assert search_out["results"][0]["name"] == "Nat.add"
+        module_out = json.loads(by_id[4]["result"]["content"][0]["text"])
+        assert module_out["module"] == "Init.Nat"
+
+    def test_missing_data_exits_1(self, tmp_path):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "lean_explore_tpu.mcp.server",
+                "--backend",
+                "local",
+                "--data-dir",
+                str(tmp_path / "nope"),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode == 1
+        assert "data fetch" in proc.stderr

@@ -1,0 +1,56 @@
+"""Sharded retrieval on the virtual 8-device CPU mesh vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+from lean_explore_tpu.parallel import ShardedDenseIndex, make_mesh
+from tests.conftest import random_unit_rows
+from tests.ops.test_dense import numpy_topk
+
+
+class TestShardedDenseIndex:
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (1, 4)])
+    def test_matches_oracle(self, mesh_shape):
+        mesh = make_mesh(mesh_shape)
+        corpus = random_unit_rows(1000, 32, seed=10)
+        queries = random_unit_rows(8, 32, seed=11)
+        index = ShardedDenseIndex(corpus, np.arange(1000) + 5, mesh)
+        scores, ids = index.search(queries, k=20)
+        ref_scores, ref_rows = numpy_topk(queries, corpus, 20)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+        for b in range(8):
+            assert set(ids[b]) == set(ref_rows[b] + 5)
+
+    def test_uneven_corpus_padding(self):
+        """Corpus rows that don't divide the shard count are padded; padding
+        never appears in results."""
+        mesh = make_mesh((1, 8))
+        corpus = random_unit_rows(103, 16, seed=12)
+        index = ShardedDenseIndex(corpus, np.arange(103), mesh)
+        scores, ids = index.search(random_unit_rows(3, 16, seed=13), k=50)
+        assert ids.max() < 103
+        assert np.all(np.isfinite(scores))
+
+    def test_query_batch_not_divisible_by_data_axis(self):
+        mesh = make_mesh((2, 4))
+        corpus = random_unit_rows(64, 16, seed=14)
+        index = ShardedDenseIndex(corpus, np.arange(64), mesh)
+        queries = random_unit_rows(3, 16, seed=15)  # 3 % 2 != 0
+        scores, ids = index.search(queries, k=5)
+        assert scores.shape == (3, 5)
+        ref_scores, ref_rows = numpy_topk(queries, corpus, 5)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+
+    def test_k_larger_than_shard(self):
+        """k above per-shard row count still returns exact global top-k."""
+        mesh = make_mesh((1, 8))
+        corpus = random_unit_rows(80, 16, seed=16)  # 10 rows per shard
+        index = ShardedDenseIndex(corpus, np.arange(80), mesh)
+        queries = random_unit_rows(2, 16, seed=17)
+        scores, ids = index.search(queries, k=40)
+        ref_scores, _ = numpy_topk(queries, corpus, 40)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+
+    def test_mesh_too_small_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh((4, 4))  # 16 > 8 virtual devices
