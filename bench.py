@@ -44,7 +44,7 @@ def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 64))
     dispatches = int(os.environ.get("BENCH_DISPATCHES", 3))
-    method = os.environ.get("BENCH_METHOD", "windowed")
+    method = os.environ.get("BENCH_METHOD", "approx")
     cpu_n = int(os.environ.get("BENCH_CPU_N", 75_000))
 
     import jax
@@ -85,9 +85,12 @@ def main() -> None:
 
     @jax.jit
     def recall_at_10(qs, serving_corpus, exact_corpus):
-        _, got = dense_topk(qs, serving_corpus, 10, n_valid=n, method=method)
+        # The serving config retrieves a k-candidate pool; final rankings use
+        # its head. recall@10 therefore compares the top-10 of the k-pool
+        # against the exact top-10.
+        _, got = dense_topk(qs, serving_corpus, k, n_valid=n, method=method)
         _, want = _full_topk(qs, exact_corpus, jnp.int32(n), k=10)
-        hits = (got[:, :, None] == want[:, None, :]).any(axis=2)
+        hits = (got[:, :10, None] == want[:, None, :]).any(axis=2)
         return hits.mean()
 
     recall = float(recall_at_10(stacked[0], corpus, corpus_f32))

@@ -1,0 +1,142 @@
+"""``lean-explore data`` commands: fetch and clean index artifacts.
+
+Parity surface: reference cli/data_commands.py:26-254 — version-addressed
+downloads from remote storage (latest.txt resolution), active_version
+pointer, old-version pruning — adapted to this framework's 7-file TPU
+artifact set (config.REQUIRED_INDEX_FILES).
+"""
+
+import logging
+import shutil
+from pathlib import Path
+
+import click
+import requests
+from rich.console import Console
+from rich.progress import (
+    BarColumn,
+    DownloadColumn,
+    Progress,
+    TextColumn,
+    TransferSpeedColumn,
+)
+
+from lean_explore_tpu.config import REQUIRED_INDEX_FILES, Config
+
+logger = logging.getLogger(__name__)
+
+
+def fetch_latest_version(base_url: str | None = None) -> str:
+    """Resolve the newest published version via <assets>/latest.txt."""
+    url = f"{base_url or Config.R2_ASSETS_BASE_URL}/assets/latest.txt"
+    try:
+        response = requests.get(url, timeout=10)
+        response.raise_for_status()
+        return response.text.strip()
+    except requests.exceptions.RequestException as error:
+        raise ValueError(f"Failed to fetch latest version: {error}") from error
+
+
+def download_file(url: str, destination: Path, progress: Progress) -> None:
+    destination.parent.mkdir(parents=True, exist_ok=True)
+    response = requests.get(url, stream=True, timeout=300)
+    response.raise_for_status()
+    total = int(response.headers.get("content-length", 0))
+    task_id = progress.add_task(destination.name, total=total)
+    with open(destination, "wb") as f:
+        for chunk in response.iter_content(chunk_size=1 << 16):
+            f.write(chunk)
+            progress.update(task_id, advance=len(chunk))
+
+
+def write_active_version(version: str) -> None:
+    marker = Config.CACHE_DIRECTORY.parent / "active_version"
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text(version)
+    logger.info("active version -> %s", version)
+
+
+def cleanup_old_versions(keep: str) -> None:
+    if not Config.CACHE_DIRECTORY.exists():
+        return
+    for item in Config.CACHE_DIRECTORY.iterdir():
+        if item.is_dir() and item.name != keep:
+            logger.info("removing old version %s", item.name)
+            shutil.rmtree(item, ignore_errors=True)
+
+
+def install_toolchain(
+    version: str | None = None, base_url: str | None = None
+) -> str:
+    """Download every artifact for a version, activate it, prune the rest."""
+    console = Console()
+    base = base_url or Config.R2_ASSETS_BASE_URL
+    if not version:
+        console.print("Fetching latest version...")
+        version = fetch_latest_version(base)
+    console.print(f"Installing version: [bold]{version}[/bold]")
+
+    asset_base = f"{base}/assets/{version}"
+    cache_path = Config.CACHE_DIRECTORY / version
+    with Progress(
+        TextColumn("[bold blue]{task.description}"),
+        BarColumn(),
+        DownloadColumn(),
+        TransferSpeedColumn(),
+        console=console,
+    ) as progress:
+        for filename in REQUIRED_INDEX_FILES:
+            destination = cache_path / filename
+            if destination.exists():
+                logger.info("skipping existing %s", filename)
+                continue
+            try:
+                download_file(f"{asset_base}/{filename}", destination, progress)
+            except requests.exceptions.RequestException as error:
+                raise ValueError(
+                    f"Failed to download {asset_base}/{filename}: {error}"
+                ) from error
+
+    write_active_version(version)
+    cleanup_old_versions(version)
+    console.print(f"[green]Installed data for version {version}[/green]")
+    return version
+
+
+@click.group(name="data")
+def data_group():
+    """Manage local index-artifact versions (download, clean)."""
+
+
+@data_group.command()
+@click.option(
+    "--version",
+    "-v",
+    default=None,
+    help="Version to install (e.g. '20260127_103630'). Defaults to latest.",
+)
+def fetch(version):
+    """Fetch and install the index artifacts from remote storage."""
+    try:
+        install_toolchain(version)
+    except ValueError as error:
+        raise click.ClickException(str(error)) from error
+
+
+@data_group.command()
+@click.confirmation_option(prompt="Delete all cached data?")
+def clean():
+    """Remove all downloaded index-artifact versions."""
+    console = Console()
+    marker = Config.CACHE_DIRECTORY.parent / "active_version"
+    if not Config.CACHE_DIRECTORY.exists() and not marker.exists():
+        console.print("[yellow]No local data found to clean.[/yellow]")
+        return
+    try:
+        if Config.CACHE_DIRECTORY.exists():
+            shutil.rmtree(Config.CACHE_DIRECTORY)
+        if marker.exists():
+            marker.unlink()
+        console.print("[green]Data cache cleared.[/green]")
+    except OSError as error:
+        raise click.ClickException(f"Error cleaning data: {error}") from error

@@ -56,21 +56,42 @@ def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
     return scores, idx
 
 
-def make_sharded_topk(mesh: Mesh, *, k: int, chunk: int = 8192):
+def make_sharded_topk(
+    mesh: Mesh, *, k: int, chunk: int = 8192, method: str = "chunked",
+    recall_target: float = 0.95,
+):
     """Build the jitted sharded top-k program for a mesh.
 
     Returns fn(queries [B, D], corpus [N, D], n_valid) -> (scores, idx),
     where B divides the ``data`` axis size and N the ``corpus`` axis size.
+    method "approx" uses the TPU PartialReduce selection per shard (serving
+    default at scale — see ops.dense._approx_topk); "chunked" is exact.
     """
     n_corpus = mesh.shape["corpus"]
+
+    def _local_topk_approx(q, shard, row_offset, n_valid):
+        batch = q.shape[0]
+        rows = shard.shape[0]
+        scores = _scores_tile(q, shard)
+        col = row_offset + lax.broadcasted_iota(jnp.int32, (batch, rows), 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        local_k = min(k, rows)
+        s, pos = lax.approx_max_k(scores, local_k, recall_target=recall_target)
+        if local_k < k:  # pad so the all_gather shapes stay [B, k]
+            s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
+            pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
+        return s, row_offset + pos.astype(jnp.int32)
 
     def inner(q, corpus, n_valid):
         shard_rows = corpus.shape[0]  # rows per device inside shard_map
         shard_idx = lax.axis_index("corpus")
         row_offset = shard_idx * shard_rows
-        local_s, local_i = _local_topk_chunked(
-            q, corpus, row_offset, n_valid[0], k=k, chunk=min(chunk, shard_rows)
-        )
+        if method == "approx":
+            local_s, local_i = _local_topk_approx(q, corpus, row_offset, n_valid[0])
+        else:
+            local_s, local_i = _local_topk_chunked(
+                q, corpus, row_offset, n_valid[0], k=k, chunk=min(chunk, shard_rows)
+            )
         # Merge across the corpus axis: gather every shard's candidates and
         # re-select. Each candidate set is [B, k]; gathered [B, n_shards*k].
         all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
@@ -107,6 +128,7 @@ class ShardedDenseIndex:
         *,
         dtype: str = "float32",
         chunk: int = 8192,
+        method: str = "chunked",
     ):
         if embeddings.shape[0] != len(ids):
             raise ValueError("ids length must match embedding rows")
@@ -115,6 +137,7 @@ class ShardedDenseIndex:
         self.n = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.chunk = chunk
+        self.method = method
 
         n_corpus = mesh.shape["corpus"]
         padded = ((self.n + n_corpus - 1) // n_corpus) * n_corpus
@@ -142,7 +165,9 @@ class ShardedDenseIndex:
 
         fn = self._topk_fns.get(k)
         if fn is None:
-            fn = make_sharded_topk(self.mesh, k=k, chunk=self.chunk)
+            fn = make_sharded_topk(
+                self.mesh, k=k, chunk=self.chunk, method=self.method
+            )
             self._topk_fns[k] = fn
         scores, idx = fn(
             q, self.embeddings, jnp.asarray([self.n], dtype=jnp.int32)

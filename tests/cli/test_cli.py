@@ -1,0 +1,196 @@
+"""CLI tests: search (remote mocked + local), mcp serve spawn, data commands."""
+
+import json
+from pathlib import Path
+
+import pytest
+from click.testing import CliRunner
+
+from lean_explore_tpu.cli.data_commands import data_group
+from lean_explore_tpu.cli.main import cli
+from lean_explore_tpu.models import SearchResponse, SearchResult
+
+
+def _result():
+    return SearchResult(
+        id=3,
+        name="Nat.add",
+        module="Init.Nat",
+        docstring="adds naturals",
+        source_text="def Nat.add := fun a b => a + b",
+        source_link="https://github.com/x",
+        dependencies=None,
+        informalization="**Addition.** The sum of naturals.",
+    )
+
+
+class TestSearchCommand:
+    def test_remote_search_renders(self, monkeypatch):
+        class FakeApi:
+            def __init__(self, **kwargs):
+                pass
+
+            async def search(self, query, limit, packages=None, **kw):
+                return SearchResponse(
+                    query=query, results=[_result()], count=1, processing_time_ms=5
+                )
+
+        import lean_explore_tpu.api as api_mod
+
+        monkeypatch.setattr(api_mod, "ApiClient", FakeApi)
+        result = CliRunner().invoke(cli, ["search", "nat add", "-n", "3"])
+        assert result.exit_code == 0, result.output
+        assert "Nat.add" in result.output
+        assert "Addition." in result.output
+        assert "Init.Nat" in result.output
+
+    def test_remote_search_without_key_fails(self, monkeypatch):
+        monkeypatch.delenv("LEANEXPLORE_API_KEY", raising=False)
+        result = CliRunner().invoke(cli, ["search", "query"])
+        assert result.exit_code == 1
+
+    def test_local_search(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.index import build_index_artifacts
+        from lean_explore_tpu.models import DeclarationStore
+        from tests.conftest import make_declaration
+
+        store = DeclarationStore(tmp_path / "declarations.db", create=True)
+        store.insert_many([make_declaration("Nat.add", "Init.Nat")])
+        build_index_artifacts(store, tmp_path)
+        store.close()
+
+        result = CliRunner().invoke(
+            cli,
+            [
+                "search",
+                "Nat.add",
+                "--local",
+                "--data-dir",
+                str(tmp_path),
+                "--rerank-top",
+                "0",
+            ],
+        )
+        assert result.exit_code == 0, result.output
+        assert "Nat.add" in result.output
+
+    def test_local_search_missing_data(self, tmp_path):
+        result = CliRunner().invoke(
+            cli, ["search", "q", "--local", "--data-dir", str(tmp_path / "none")]
+        )
+        assert result.exit_code == 1
+
+
+class TestMcpServe:
+    def test_spawns_subprocess(self, monkeypatch):
+        calls = {}
+
+        def fake_run(command, check):
+            calls["command"] = command
+
+            class R:
+                returncode = 0
+
+            return R()
+
+        monkeypatch.setattr("subprocess.run", fake_run)
+        result = CliRunner().invoke(
+            cli, ["mcp", "serve", "--backend", "local", "--data-dir", "/tmp/x"]
+        )
+        assert result.exit_code == 0, result.output
+        assert "-m" in calls["command"]
+        assert "lean_explore_tpu.mcp.server" in calls["command"]
+        assert "--data-dir" in calls["command"]
+
+    def test_api_backend_needs_key(self, monkeypatch):
+        monkeypatch.delenv("LEANEXPLORE_API_KEY", raising=False)
+        result = CliRunner().invoke(cli, ["mcp", "serve", "--backend", "api"])
+        assert result.exit_code == 1
+
+    def test_propagates_exit_code(self, monkeypatch):
+        def fake_run(command, check):
+            class R:
+                returncode = 3
+
+            return R()
+
+        monkeypatch.setattr("subprocess.run", fake_run)
+        result = CliRunner().invoke(
+            cli, ["mcp", "serve", "--backend", "local"]
+        )
+        assert result.exit_code == 3
+
+
+class TestDataCommands:
+    def test_fetch_downloads_all_artifacts(self, tmp_path, monkeypatch):
+        from lean_explore_tpu import config as config_mod
+        from lean_explore_tpu.cli import data_commands as dc
+
+        cache = tmp_path / "cache"
+        monkeypatch.setattr(config_mod.Config, "CACHE_DIRECTORY", cache)
+
+        downloaded = []
+
+        def fake_get(url, timeout=None, stream=False):
+            class R:
+                headers = {"content-length": "4"}
+                text = "20260101_000000"
+
+                def raise_for_status(self):
+                    pass
+
+                def iter_content(self, chunk_size):
+                    yield b"data"
+
+            downloaded.append(url)
+            return R()
+
+        monkeypatch.setattr(dc.requests, "get", fake_get)
+        result = CliRunner().invoke(data_group, ["fetch"])
+        assert result.exit_code == 0, result.output
+        # latest.txt + 7 artifacts
+        assert any("latest.txt" in u for u in downloaded)
+        assert sum("20260101_000000" in u for u in downloaded) == 7
+        version_dir = cache / "20260101_000000"
+        assert (version_dir / "manifest.json").exists()
+        assert (cache.parent / "active_version").read_text() == "20260101_000000"
+
+    def test_fetch_prunes_old_versions(self, tmp_path, monkeypatch):
+        from lean_explore_tpu import config as config_mod
+        from lean_explore_tpu.cli import data_commands as dc
+
+        cache = tmp_path / "cache"
+        (cache / "old_version").mkdir(parents=True)
+        monkeypatch.setattr(config_mod.Config, "CACHE_DIRECTORY", cache)
+        monkeypatch.setattr(dc, "fetch_latest_version", lambda base=None: "v2")
+        monkeypatch.setattr(
+            dc, "download_file", lambda url, dest, progress: dest.parent.mkdir(
+                parents=True, exist_ok=True
+            ) or dest.write_bytes(b"x")
+        )
+        result = CliRunner().invoke(data_group, ["fetch"])
+        assert result.exit_code == 0, result.output
+        assert not (cache / "old_version").exists()
+        assert (cache / "v2").exists()
+
+    def test_clean(self, tmp_path, monkeypatch):
+        from lean_explore_tpu import config as config_mod
+
+        cache = tmp_path / "cache"
+        (cache / "v1").mkdir(parents=True)
+        (tmp_path / "active_version").write_text("v1")
+        monkeypatch.setattr(config_mod.Config, "CACHE_DIRECTORY", cache)
+        result = CliRunner().invoke(data_group, ["clean"], input="y\n")
+        assert result.exit_code == 0, result.output
+        assert not cache.exists()
+        assert not (tmp_path / "active_version").exists()
+
+    def test_clean_nothing(self, tmp_path, monkeypatch):
+        from lean_explore_tpu import config as config_mod
+
+        monkeypatch.setattr(
+            config_mod.Config, "CACHE_DIRECTORY", tmp_path / "nope" / "cache"
+        )
+        result = CliRunner().invoke(data_group, ["clean"], input="y\n")
+        assert result.exit_code == 0
+        assert "No local data" in result.output

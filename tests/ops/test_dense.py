@@ -35,7 +35,7 @@ def assert_topk_matches(scores, idx, ref_scores, ref_idx, atol=1e-5):
                 assert abs(s - kth) < atol
 
 
-METHODS = ["full", "chunked", "windowed"]
+METHODS = ["full", "chunked", "windowed", "approx"]
 
 
 class TestDenseTopK:

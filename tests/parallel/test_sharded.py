@@ -54,3 +54,26 @@ class TestShardedDenseIndex:
     def test_mesh_too_small_raises(self):
         with pytest.raises(ValueError):
             make_mesh((4, 4))  # 16 > 8 virtual devices
+
+
+class TestApproxSharded:
+    def test_approx_matches_oracle_on_cpu(self):
+        """On CPU approx_max_k lowers to exact selection, so the sharded
+        approx path is oracle-exact in tests."""
+        mesh = make_mesh((1, 8))
+        corpus = random_unit_rows(800, 32, seed=20)
+        index = ShardedDenseIndex(corpus, np.arange(800), mesh, method="approx")
+        queries = random_unit_rows(4, 32, seed=21)
+        scores, ids = index.search(queries, k=30)
+        ref_scores, ref_rows = numpy_topk(queries, corpus, 30)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+        for b in range(4):
+            assert set(ids[b]) == set(ref_rows[b])
+
+    def test_approx_k_exceeds_shard_rows(self):
+        mesh = make_mesh((1, 8))
+        corpus = random_unit_rows(80, 16, seed=22)  # 10 rows/shard < k
+        index = ShardedDenseIndex(corpus, np.arange(80), mesh, method="approx")
+        scores, ids = index.search(random_unit_rows(2, 16, seed=23), k=40)
+        ref_scores, _ = numpy_topk(random_unit_rows(2, 16, seed=23), corpus, 40)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
