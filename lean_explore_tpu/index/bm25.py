@@ -162,8 +162,34 @@ class Bm25Index:
 
         Duplicate query tokens contribute once per occurrence (bm25s sums
         per token-id occurrence); out-of-vocabulary tokens contribute 0.
+
+        Uses the lexcore native scorer when built (make -C native); the
+        numpy path below is the always-available reference implementation.
         """
         p = self.params
+        if self.n_docs:
+            from lean_explore_tpu.native import bm25_score_native
+
+            token_ids = np.fromiter(
+                (self.vocab.get(t, -1) for t in query_tokens),
+                dtype=np.int64,
+                count=len(query_tokens),
+            )
+            native = bm25_score_native(
+                self.indptr,
+                self.doc_indices,
+                self.tf_values,
+                self.doc_lengths,
+                self.avgdl,
+                self.idf,
+                token_ids,
+                p.k1,
+                p.b,
+                p.delta,
+                p.method,
+            )
+            if native is not None:
+                return native
         scores = np.zeros(self.n_docs, dtype=np.float64)
         constant = 0.0
         for tok in query_tokens:
@@ -202,7 +228,12 @@ class Bm25Index:
         k = min(k, self.n_docs)
         if k == 0:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        part = np.argpartition(-scores, k - 1)[:k]
-        order = np.lexsort((part, -scores[part]))
-        idx = part[order]
+        from lean_explore_tpu.native import topk_native
+
+        native = topk_native(scores, k)
+        if native is not None:
+            return native
+        # Deterministic selection (ties by ascending doc index), matching the
+        # native comparator so both paths return identical candidate sets.
+        idx = np.lexsort((np.arange(self.n_docs), -scores))[:k]
         return idx, scores[idx]

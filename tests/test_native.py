@@ -1,0 +1,111 @@
+"""lexcore native-library parity tests (skipped when the .so isn't built)."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from lean_explore_tpu import native
+from lean_explore_tpu.index.bm25 import Bm25Index
+from lean_explore_tpu.search.tokenization import tokenize_spaced
+
+lexcore = native.load_lexcore()
+needs_lexcore = pytest.mark.skipif(
+    lexcore is None, reason="liblexcore.so not built (make -C native)"
+)
+
+
+@needs_lexcore
+class TestBm25Native:
+    def test_score_parity_with_numpy(self, monkeypatch):
+        rng = np.random.default_rng(1)
+        words = [f"t{i}" for i in range(50)]
+        corpus = [
+            [words[rng.integers(0, 50)] for _ in range(rng.integers(1, 7))]
+            for _ in range(300)
+        ]
+        index = Bm25Index.build(corpus)
+        for query in ([words[0]], [words[1], words[2], "oov"], [], ["oov"]):
+            native_scores = index.score(query)
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_load_attempted", True)
+            numpy_scores = index.score(query)
+            monkeypatch.setattr(native, "_lib", lexcore)
+            np.testing.assert_allclose(native_scores, numpy_scores, rtol=1e-12)
+
+    def test_retrieve_parity_including_ties(self, monkeypatch):
+        corpus = [["a"], ["a"], ["b"], ["a", "b"]] * 25
+        index = Bm25Index.build(corpus)
+        i_native, v_native = index.retrieve(["a"], 30)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_load_attempted", True)
+        i_numpy, v_numpy = index.retrieve(["a"], 30)
+        assert list(i_native) == list(i_numpy)
+        np.testing.assert_allclose(v_native, v_numpy)
+
+    def test_lucene_and_robertson_methods(self, monkeypatch):
+        from lean_explore_tpu.index.bm25 import Bm25Params
+
+        corpus = [["x", "y"], ["x"], ["z"]]
+        for method in ("lucene", "robertson"):
+            index = Bm25Index.build(corpus, Bm25Params(method=method))
+            got = index.score(["x", "z"])
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_load_attempted", True)
+            want = index.score(["x", "z"])
+            monkeypatch.setattr(native, "_lib", lexcore)
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@needs_lexcore
+class TestTopkNative:
+    def test_basic(self):
+        scores = np.array([1.0, 5.0, 3.0, 5.0, 0.0])
+        idx, vals = native.topk_native(scores, 3)
+        assert list(idx) == [1, 3, 2]  # tie between 1 and 3 -> lower index first
+        assert list(vals) == [5.0, 5.0, 3.0]
+
+    def test_k_clamped(self):
+        idx, vals = native.topk_native(np.array([2.0, 1.0]), 10)
+        assert list(idx) == [0, 1]
+
+
+@needs_lexcore
+class TestTokenizerNative:
+    def test_parity_with_python(self):
+        cases = [
+            "Nat.add_comm",
+            "CategoryTheory.isoOfFullyFaithful",
+            "HTTPServer",
+            "fin2Add",
+            "",
+            "...",
+            "a-b c'd",
+        ]
+        rng = random.Random(3)
+        alphabet = string.ascii_letters + string.digits + "._ -"
+        cases += [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+            for _ in range(300)
+        ]
+        for text in cases:
+            got = native.tokenize_spaced_native(text)
+            assert got is not None
+            assert got == tokenize_spaced(text), repr(text)
+
+    def test_non_ascii_falls_back(self):
+        assert native.tokenize_spaced_native("Näme.add") is None
+
+
+class TestFallbackWithoutLibrary:
+    def test_disabled_env(self, monkeypatch):
+        monkeypatch.setenv("LEAN_EXPLORE_NO_NATIVE", "1")
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_load_attempted", False)
+        assert native.load_lexcore() is None
+        assert native.topk_native(np.array([1.0]), 1) is None
+        # BM25 still works on the numpy path
+        index = Bm25Index.build([["a"], ["b"]])
+        idx, _ = index.retrieve(["a"], 2)
+        assert list(idx)[0] == 0
