@@ -36,7 +36,80 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_model_forward(mode: str) -> None:
+    """BENCH_MODE=encode|rerank: Qwen3-0.6B-geometry forward throughput
+    (hot loop #2, reference reranker_client.py:110-141). Random bf16
+    weights at the real architecture; distinct inputs per rep."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lean_explore_tpu.models import qwen3
+
+    batch = int(os.environ.get("BENCH_B", 64))
+    seq = int(os.environ.get("BENCH_T", 512 if mode == "encode" else 256))
+    reps = int(os.environ.get("BENCH_DISPATCHES", 3))
+
+    config = qwen3.Qwen3Config(
+        vocab_size=151_936,
+        hidden_size=1024,
+        num_hidden_layers=28,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+        intermediate_size=3072,
+    )
+    params = jax.device_put(
+        qwen3.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    jax.block_until_ready(params)
+    log(f"0.6B params placed; mode={mode} B={batch} T={seq}")
+
+    def make_inputs(i):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(100 + i),
+            (batch, seq),
+            1,
+            config.vocab_size,
+            dtype=jnp.int32,
+        )
+        return ids, jnp.ones((batch, seq), jnp.int32)
+
+    if mode == "encode":
+        fn = lambda ids, mask: qwen3.embed_pool(params, config, ids, mask)
+    else:
+        fn = lambda ids, mask: qwen3.rerank_scores(
+            params, config, ids, mask, token_true=5, token_false=6
+        )
+
+    inputs = [make_inputs(i) for i in range(reps + 1)]
+    jax.block_until_ready(inputs)
+    float(fn(*inputs[0]).sum())  # compile
+    t0 = time.perf_counter()
+    for i in range(reps):
+        float(fn(*inputs[i + 1]).sum())
+    elapsed = (time.perf_counter() - t0) / reps
+    throughput = batch / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"qwen3_0.6b_{mode}_b{batch}_t{seq}_bf16",
+                "value": round(throughput, 2),
+                "unit": "texts/sec" if mode == "encode" else "pairs/sec",
+                "vs_baseline": None,
+                "batch_latency_ms": round(elapsed * 1000, 2),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "retrieval")
+    if mode in ("encode", "rerank"):
+        bench_model_forward(mode)
+        return
     n = int(os.environ.get("BENCH_N", 300_000))
     batch = int(os.environ.get("BENCH_B", 128))
     k = int(os.environ.get("BENCH_K", 1000))

@@ -19,3 +19,11 @@ __all__ = [
     "param_partition_specs",
     "shard_params",
 ]
+
+from lean_explore_tpu.train.checkpoint import (  # noqa: E402
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+__all__ += ["latest_checkpoint", "restore_checkpoint", "save_checkpoint"]

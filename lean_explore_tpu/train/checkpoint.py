@@ -1,0 +1,68 @@
+"""Training checkpoint/resume via orbax.
+
+The serving side's "checkpointing" is versioned artifact sets plus
+stage-resumable pipeline state (SURVEY.md §5); the training side gets real
+device-aware checkpoints: sharded params + optimizer state + step counter,
+saved/restored with orbax so multi-host meshes work unchanged.
+"""
+
+import logging
+from pathlib import Path
+from typing import Any
+
+logger = logging.getLogger(__name__)
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    directory: str | Path,
+    step: int,
+    params: Any,
+    opt_state: Any,
+) -> Path:
+    """Write one checkpoint under directory/step_<N> (overwrites)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / f"step_{step:08d}"
+    checkpointer = _checkpointer()
+    checkpointer.save(
+        path, {"params": params, "opt_state": opt_state}, force=True
+    )
+    checkpointer.wait_until_finished()
+    logger.info("checkpoint saved: %s", path)
+    return path
+
+
+def latest_checkpoint(directory: str | Path) -> tuple[int, Path] | None:
+    """(step, path) of the newest checkpoint, or None."""
+    directory = Path(directory)
+    if not directory.exists():
+        return None
+    candidates = sorted(directory.glob("step_*"))
+    if not candidates:
+        return None
+    path = candidates[-1]
+    return int(path.name.split("_")[1]), path
+
+
+def restore_checkpoint(
+    path: str | Path,
+    template: dict,
+) -> dict:
+    """Restore {params, opt_state} shaped/sharded like ``template``.
+
+    The template (e.g. freshly-initialized state from init_train_state)
+    supplies dtypes and shardings, so restoration lands directly on the
+    mesh.
+    """
+    checkpointer = _checkpointer()
+    restored = checkpointer.restore(Path(path).resolve(), template)
+    logger.info("checkpoint restored: %s", path)
+    return restored
