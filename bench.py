@@ -105,10 +105,105 @@ def bench_model_forward(mode: str) -> None:
     )
 
 
+def bench_fusion_pipeline() -> None:
+    """BENCH_MODE=fusion: the full hybrid serving pipeline minus model
+    forwards (BM25 spaced+raw retrieve -> dense candidate pool -> RRF ->
+    dependency boost with sqlite hydration -> package filter). Measures the
+    host+fusion overhead that surrounds the model/matmul hot loops."""
+    import asyncio
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from lean_explore_tpu.index import build_index_artifacts
+    from lean_explore_tpu.models import Declaration, DeclarationStore
+    from lean_explore_tpu.search.engine import SearchEngine
+
+    n = int(os.environ.get("BENCH_N", 100_000))
+    batch = int(os.environ.get("BENCH_B", 128))
+    dim = int(os.environ.get("BENCH_DIM", 1024))
+    reps = int(os.environ.get("BENCH_DISPATCHES", 3))
+
+    rng = np.random.default_rng(0)
+    log(f"building synthetic artifact set: {n} declarations ...")
+    words = [f"w{i}" for i in range(3000)]
+    tmp = tempfile.mkdtemp(prefix="bench_fusion_")
+    store = DeclarationStore(f"{tmp}/declarations.db", create=True)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    batch_rows = []
+    for i in range(n):
+        name = f"Pkg{i % 7}.ns{i % 53}.{words[i % 3000]}{i}"
+        deps = (
+            json.dumps([f"Pkg{(i + j) % 7}.ns{(i + j) % 53}.{words[(i + j) % 3000]}{i - j}"
+                        for j in range(1, i % 4 + 1)])
+            if i % 3 else None
+        )
+        batch_rows.append(
+            Declaration(
+                name=name,
+                module=f"Pkg{i % 7}.Mod{i % 101}",
+                source_text=f"def {name} := x{i}",
+                source_link=f"https://example/{i}",
+                dependencies=deps,
+                informalization=f"**Thing {i}.** does {words[i % 3000]} stuff",
+                informalization_embedding=vecs[i].tolist(),
+            )
+        )
+        if len(batch_rows) == 5000:
+            store.insert_many(batch_rows)
+            batch_rows = []
+    if batch_rows:
+        store.insert_many(batch_rows)
+    build_index_artifacts(store, tmp)
+    log("artifacts built")
+
+    class RandomEmbedder:
+        async def embed(self, texts, is_query=False):
+            from lean_explore_tpu.util.embedding_client import EmbeddingResponse
+
+            out = rng.standard_normal((len(texts), dim)).astype(np.float32)
+            return EmbeddingResponse(
+                texts=list(texts), embeddings=out.tolist(), model="bench"
+            )
+
+    engine = SearchEngine(
+        tmp, store=store, embedding_client=RandomEmbedder(), reranker_client=None
+    )
+    queries = [f"{words[i % 3000]} nat thing {i % 97}" for i in range(batch)]
+
+    async def run_batch():
+        return await engine.search_batch(queries, rerank_top=0, limit=20)
+
+    asyncio.run(run_batch())  # warm (compiles dense program)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        asyncio.run(run_batch())
+    elapsed = (time.perf_counter() - t0) / reps
+    qps = batch / elapsed
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": f"hybrid_fusion_pipeline_qps_n{n}_b{batch}_norerank",
+                "value": round(qps, 2),
+                "unit": "queries/sec",
+                "vs_baseline": None,
+                "batch_latency_ms": round(elapsed * 1000, 2),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "retrieval")
     if mode in ("encode", "rerank"):
         bench_model_forward(mode)
+        return
+    if mode == "fusion":
+        bench_fusion_pipeline()
         return
     n = int(os.environ.get("BENCH_N", 300_000))
     batch = int(os.environ.get("BENCH_B", 128))

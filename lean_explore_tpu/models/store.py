@@ -89,7 +89,14 @@ class Declaration:
         return [d for d in parsed if isinstance(d, str)] if isinstance(parsed, list) else []
 
 
+_METADATA_COLUMNS = (
+    "id, name, module, docstring, source_text, source_link, dependencies, "
+    "informalization"
+)
+
+
 def _row_to_declaration(row: sqlite3.Row) -> Declaration:
+    keys = row.keys()
     return Declaration(
         id=row["id"],
         name=row["name"],
@@ -99,7 +106,11 @@ def _row_to_declaration(row: sqlite3.Row) -> Declaration:
         source_link=row["source_link"],
         dependencies=row["dependencies"],
         informalization=row["informalization"],
-        informalization_embedding=unpack_embedding(row["informalization_embedding"]),
+        informalization_embedding=(
+            unpack_embedding(row["informalization_embedding"])
+            if "informalization_embedding" in keys
+            else None
+        ),
     )
 
 
@@ -207,35 +218,49 @@ class DeclarationStore:
             (n,) = self._conn.execute("SELECT COUNT(*) FROM declarations").fetchone()
         return n
 
-    def get_by_id(self, decl_id: int) -> Declaration | None:
+    def get_by_id(
+        self, decl_id: int, *, with_embedding: bool = False
+    ) -> Declaration | None:
+        columns = "*" if with_embedding else _METADATA_COLUMNS
         with self._lock:
             row = self._conn.execute(
-                "SELECT * FROM declarations WHERE id = ?", (decl_id,)
+                f"SELECT {columns} FROM declarations WHERE id = ?", (decl_id,)
             ).fetchone()
         return _row_to_declaration(row) if row else None
 
-    def get_by_ids(self, ids: Sequence[int]) -> dict[int, Declaration]:
+    def get_by_ids(
+        self, ids: Sequence[int], *, with_embeddings: bool = False
+    ) -> dict[int, Declaration]:
         """Batched hydration for the serving path (reference engine.py:320-323).
 
-        Large id lists are chunked to stay under sqlite's bound-variable limit.
+        Large id lists are chunked to stay under sqlite's bound-variable
+        limit. Embedding blobs are skipped by default: the serving path only
+        needs metadata, and decoding 4KB float blobs per row dominates
+        hydration cost otherwise.
         """
         out: dict[int, Declaration] = {}
         ids = list(ids)
+        columns = "*" if with_embeddings else _METADATA_COLUMNS
         with self._lock:
             for start in range(0, len(ids), 512):
                 chunk = ids[start : start + 512]
                 placeholders = ",".join("?" * len(chunk))
                 rows = self._conn.execute(
-                    f"SELECT * FROM declarations WHERE id IN ({placeholders})", chunk
+                    f"SELECT {columns} FROM declarations WHERE id IN "
+                    f"({placeholders})",
+                    chunk,
                 ).fetchall()
                 for row in rows:
                     out[row["id"]] = _row_to_declaration(row)
         return out
 
-    def get_by_name(self, name: str) -> Declaration | None:
+    def get_by_name(
+        self, name: str, *, with_embedding: bool = False
+    ) -> Declaration | None:
+        columns = "*" if with_embedding else _METADATA_COLUMNS
         with self._lock:
             row = self._conn.execute(
-                "SELECT * FROM declarations WHERE name = ?", (name,)
+                f"SELECT {columns} FROM declarations WHERE name = ?", (name,)
             ).fetchone()
         return _row_to_declaration(row) if row else None
 

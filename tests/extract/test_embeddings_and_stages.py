@@ -48,8 +48,8 @@ class TestGenerateEmbeddings:
         client = FakeEmbedder()
         n = emb.generate_embeddings(store, client=client, use_cache=False)
         assert n == 2  # A and B only
-        assert store.get_by_name("A").informalization_embedding is not None
-        assert store.get_by_name("NoInf").informalization_embedding is None
+        assert store.get_by_name("A", with_embedding=True).informalization_embedding is not None
+        assert store.get_by_name("NoInf", with_embedding=True).informalization_embedding is None
         # rerun: nothing left
         assert emb.generate_embeddings(store, client=client, use_cache=False) == 0
 
@@ -75,7 +75,7 @@ class TestGenerateEmbeddings:
         n = emb.generate_embeddings(store, client=client)
         assert n == 2
         # "A" has the same informalization text as "Old" -> cached bytes
-        assert store.get_by_name("A").informalization_embedding == [9.0, 9.0, 9.0, 9.0]
+        assert store.get_by_name("A", with_embedding=True).informalization_embedding == [9.0, 9.0, 9.0, 9.0]
         assert client.calls == [["**B.** a bit longer text"]]
 
     def test_batching(self):

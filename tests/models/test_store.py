@@ -99,7 +99,7 @@ class TestStore:
         decl = memory_store.get_by_name("A")
         memory_store.set_informalizations([(decl.id, "**A.** text")])
         memory_store.set_embeddings([(decl.id, np.array([0.5, 0.5]))])
-        refreshed = memory_store.get_by_id(decl.id)
+        refreshed = memory_store.get_by_id(decl.id, with_embedding=True)
         assert refreshed.informalization == "**A.** text"
         assert refreshed.informalization_embedding == [0.5, 0.5]
 
