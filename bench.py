@@ -240,11 +240,26 @@ def main() -> None:
         return l2_normalize(q)
 
     corpus_f32 = gen_corpus(jax.random.PRNGKey(0))
-    corpus = corpus_f32.astype(jnp.dtype(dtype))
-    if dtype == "float32":
-        corpus_f32 = corpus
+    corpus_scales = None
+    if dtype == "int8":
+        from lean_explore_tpu.ops.quant import _quantize_rows_device
+
+        corpus, corpus_scales = jax.jit(_quantize_rows_device)(corpus_f32)
+    else:
+        corpus = corpus_f32.astype(jnp.dtype(dtype))
+        if dtype == "float32":
+            corpus_f32 = corpus
     stacked = gen_queries(jax.random.PRNGKey(1))
     jax.block_until_ready((corpus, stacked))
+
+    def search_fn(q, corpus_arg, kk):
+        if corpus_scales is not None:
+            from lean_explore_tpu.ops.quant import quantized_topk
+
+            return quantized_topk(
+                q, corpus_arg, corpus_scales, jnp.asarray(n, jnp.int32), k=kk
+            )
+        return dense_topk(q, corpus_arg, kk, n_valid=n, method=method)
 
     # ------------------------------------------------------------------
     # Correctness: bf16 serving path vs f32 HIGHEST exact search, on device.
@@ -256,7 +271,7 @@ def main() -> None:
         # The serving config retrieves a k-candidate pool; final rankings use
         # its head. recall@10 therefore compares the top-10 of the k-pool
         # against the exact top-10.
-        _, got = dense_topk(qs, serving_corpus, k, n_valid=n, method=method)
+        _, got = search_fn(qs, serving_corpus, k)
         _, want = _full_topk(qs, exact_corpus, jnp.int32(n), k=10)
         hits = (got[:, :10, None] == want[:, None, :]).any(axis=2)
         return hits.mean()
@@ -269,7 +284,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     def run_many(qs, corpus_arg):
         def one(q):
-            scores, idx = dense_topk(q, corpus_arg, k, n_valid=n, method=method)
+            scores, idx = search_fn(q, corpus_arg, k)
             # Reduce outputs on device; returning [iters, B, k] arrays would
             # meter tunnel bandwidth, not device throughput.
             return scores[:, 0].sum() + idx.sum()

@@ -49,6 +49,7 @@ class DenseIndex:
         if not normalized:
             embeddings = l2_normalize(embeddings)
         self.embeddings = embeddings
+        self.scales = None  # set for int8-quantized indices
         self.ids = np.asarray(ids, dtype=np.int64)
         self.n = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
@@ -61,10 +62,21 @@ class DenseIndex:
         *,
         dtype: str | jnp.dtype = "float32",
     ) -> "DenseIndex":
-        """Normalize (in f32) and place on device in the serving dtype."""
+        """Normalize (in f32) and place on device in the serving dtype.
+
+        dtype "int8" quantizes per row (ops/quant.py): half bfloat16's HBM
+        traffic and double the MXU throughput, small measured recall cost.
+        """
         mat = np.asarray(embeddings, dtype=np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
+        if str(dtype) == "int8":
+            from lean_explore_tpu.ops.quant import quantize_rows
+
+            codes, scales = quantize_rows(mat)
+            index = cls(jnp.asarray(codes), ids, normalized=True)
+            index.scales = jnp.asarray(scales)
+            return index
         device_mat = jnp.asarray(mat, dtype=jnp.dtype(dtype))
         return cls(device_mat, ids, normalized=True)
 
@@ -75,10 +87,14 @@ class DenseIndex:
     def save(self, directory: str | Path) -> None:
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
-        np.save(
-            directory / EMBEDDINGS_FILE,
-            np.asarray(self.embeddings, dtype=np.float32),
-        )
+        if self.scales is not None:
+            # Artifacts stay float32 on disk; dequantize the int8 codes.
+            mat = np.asarray(self.embeddings, dtype=np.float32) * np.asarray(
+                self.scales
+            )[:, None]
+        else:
+            mat = np.asarray(self.embeddings, dtype=np.float32)
+        np.save(directory / EMBEDDINGS_FILE, mat)
         np.save(directory / IDS_FILE, self.ids)
 
     @classmethod
@@ -96,6 +112,8 @@ class DenseIndex:
                 )
         mat = np.load(emb_path)
         ids = np.load(ids_path)
+        if str(dtype) == "int8":
+            return cls.build(mat, ids, dtype="int8")
         return cls(jnp.asarray(mat, dtype=jnp.dtype(dtype)), ids, normalized=True)
 
     # ------------------------------------------------------------------
@@ -122,7 +140,21 @@ class DenseIndex:
         """
         q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
         k = min(k, self.n)
-        scores, rows = dense_topk(q, self.embeddings, k, n_valid=self.n, method=method)
+        if self.scales is not None:
+            from lean_explore_tpu.ops.quant import quantized_topk
+
+            scores, rows = quantized_topk(
+                q,
+                self.embeddings,
+                self.scales,
+                jnp.asarray(self.n, dtype=jnp.int32),
+                k=k,
+                exact=(method == "full"),
+            )
+        else:
+            scores, rows = dense_topk(
+                q, self.embeddings, k, n_valid=self.n, method=method
+            )
         rows = np.asarray(jax.device_get(rows))
         scores = np.asarray(jax.device_get(scores))
         return scores, self.ids[rows]

@@ -115,3 +115,49 @@ class TestArtifacts:
         assert manifest["n_declarations"] == 0
         arts = load_index_artifacts(tmp_path)
         assert arts.dense.n == 0
+
+
+class TestInt8Index:
+    def test_int8_recall_on_separated_data(self):
+        """Quantized search returns the true neighbors when margins exceed
+        the ~1% quantization noise."""
+        corpus = random_unit_rows(400, 64, seed=30)
+        index = DenseIndex.build(corpus, np.arange(400), dtype="int8")
+        assert index.scales is not None
+        queries = corpus[:8]  # exact corpus rows: unambiguous neighbors
+        scores, ids = index.search(queries, k=3)
+        assert np.array_equal(ids[:, 0], np.arange(8))
+        # Calibrated scores approximate the true inner product (=1.0)
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.02)
+
+    def test_int8_oracle_overlap(self):
+        from tests.ops.test_dense import numpy_topk
+
+        corpus = random_unit_rows(500, 128, seed=31)
+        index = DenseIndex.build(corpus, np.arange(500), dtype="int8")
+        queries = random_unit_rows(6, 128, seed=32)
+        _, ids = index.search(queries, k=10)
+        _, ref = numpy_topk(queries, corpus, 10)
+        overlap = np.mean(
+            [len(set(ids[b]) & set(ref[b])) / 10 for b in range(6)]
+        )
+        assert overlap >= 0.8  # int8 noise may swap near-ties
+
+    def test_int8_save_dequantizes(self, tmp_path):
+        corpus = random_unit_rows(50, 32, seed=33)
+        index = DenseIndex.build(corpus, np.arange(50), dtype="int8")
+        index.save(tmp_path)
+        reloaded = DenseIndex.load(tmp_path)  # f32
+        assert str(reloaded.embeddings.dtype) == "float32"
+        # dequantized values within int8 step of the originals
+        np.testing.assert_allclose(
+            reloaded.row_embeddings(), corpus, atol=1.5 / 127
+        )
+
+    def test_int8_load(self, tmp_path):
+        corpus = random_unit_rows(50, 32, seed=34)
+        DenseIndex.build(corpus, np.arange(50)).save(tmp_path)
+        loaded = DenseIndex.load(tmp_path, dtype="int8")
+        assert loaded.scales is not None
+        _, ids = loaded.search(corpus[:3], k=1)
+        assert np.array_equal(ids.ravel(), [0, 1, 2])
