@@ -27,3 +27,10 @@ from lean_explore_tpu.train.checkpoint import (  # noqa: E402
 )
 
 __all__ += ["latest_checkpoint", "restore_checkpoint", "save_checkpoint"]
+
+from lean_explore_tpu.train.data import (  # noqa: E402
+    ContrastiveDataLoader,
+    pairs_from_store,
+)
+
+__all__ += ["ContrastiveDataLoader", "pairs_from_store"]

@@ -59,10 +59,22 @@ def restore_checkpoint(
     """Restore {params, opt_state} shaped/sharded like ``template``.
 
     The template (e.g. freshly-initialized state from init_train_state)
-    supplies dtypes and shardings, so restoration lands directly on the
-    mesh.
+    supplies dtypes and shardings. Restored leaves are re-placed onto the
+    template leaf's exact sharding: orbax can bring scalars back on a
+    single device, which would then clash with mesh-placed params inside
+    the jitted train step.
     """
+    import jax
+
     checkpointer = _checkpointer()
     restored = checkpointer.restore(Path(path).resolve(), template)
     logger.info("checkpoint restored: %s", path)
-    return restored
+
+    def replace(restored_leaf, template_leaf):
+        if restored_leaf is None or not hasattr(template_leaf, "sharding"):
+            return restored_leaf
+        return jax.device_put(restored_leaf, template_leaf.sharding)
+
+    return jax.tree.map(
+        replace, restored, template, is_leaf=lambda x: x is None
+    )

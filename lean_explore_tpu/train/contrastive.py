@@ -140,8 +140,28 @@ def init_train_state(
     seed: int = 0,
     dtype=jnp.float32,
 ):
-    """Random-init params sharded over the mesh + matching opt state."""
+    """Random-init params sharded over the mesh + matching opt state.
+
+    The optimizer init runs under jit so the moments inherit their params'
+    shardings; any leaf XLA leaves on a single device (scalars like the
+    adam step count) is then committed mesh-replicated, so checkpoints
+    restore onto placements the train step accepts.
+    """
     params = qwen3.init_params(config, jax.random.PRNGKey(seed), dtype=dtype)
     params = shard_params(params, mesh, config)
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
+    opt_state = commit_to_mesh(opt_state, mesh)
     return params, opt_state
+
+
+def commit_to_mesh(tree, mesh: Mesh):
+    """Re-place any single-device leaf as mesh-replicated."""
+
+    def fix(leaf):
+        if leaf is None or isinstance(
+            getattr(leaf, "sharding", None), NamedSharding
+        ):
+            return leaf
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(fix, tree, is_leaf=lambda x: x is None)
