@@ -7,3 +7,7 @@ from lean_explore_tpu.ops.dense import (
 )
 
 __all__ = ["dense_topk", "l2_normalize", "pad_rows"]
+
+from lean_explore_tpu.ops.quant import quantize_rows, quantized_topk  # noqa: E402
+
+__all__ += ["quantize_rows", "quantized_topk"]

@@ -11,7 +11,6 @@ Queries ride the ``data`` axis (DP): a (data=2, corpus=4) mesh serves two
 query sub-batches concurrently, each against the full corpus.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ In-batch negatives: query i's positive is document i, every other document
 in the global batch is a negative.
 """
 
-import functools
 from typing import NamedTuple
 
 import jax
