@@ -118,19 +118,22 @@ class RerankerClient:
 
         TPU-first extension used by the batched engine: pairs from *different*
         queries share device batches, so a 128-query step runs one padded
-        forward instead of 128 small ones.
+        forward instead of 128 small ones. Pairs are scored in length-sorted
+        order (character length tracks token length closely) so each device
+        batch pads to its own bucket instead of the global maximum — short
+        candidates stop paying for the longest informalization in the step.
         """
         if len(queries) != len(documents):
             raise ValueError("queries and documents must align")
         if not documents:
             return []
         pairs = [self._format_pair(q, d) for q, d in zip(queries, documents)]
-        scores: list[float] = []
-        for start in range(0, len(pairs), self.batch_size):
-            scores.extend(
-                float(s)
-                for s in self._score_batch(pairs[start : start + self.batch_size])
-            )
+        order = sorted(range(len(pairs)), key=lambda i: len(pairs[i]))
+        scores = [0.0] * len(pairs)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            for i, s in zip(chunk, self._score_batch([pairs[i] for i in chunk])):
+                scores[i] = float(s)
         return scores
 
     async def rerank_pairs(

@@ -195,3 +195,33 @@ class TestProfiling:
             pass
         assert set(t.as_dict()) == {"encode", "dense"}
         assert t.total_ms() >= 0
+
+
+class TestRerankPairs:
+    def test_pairs_order_preserved_with_mixed_lengths(self, reranker_client):
+        """Length-sorted batching must return scores in input order."""
+        queries = ["sum"] * 6
+        docs = [
+            "nat add",
+            "the sum of two natural numbers " * 6,
+            "list",
+            "multiplication of two natural numbers and more words here",
+            "a",
+            "prime numbers " * 3,
+        ]
+        batched = reranker_client.rerank_pairs_sync(queries, docs)
+        singles = [
+            reranker_client.rerank_sync("sum", [d]).scores[0] for d in docs
+        ]
+        import numpy as np
+
+        np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+    def test_pairs_length_mismatch(self, reranker_client):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            reranker_client.rerank_pairs_sync(["a"], ["x", "y"])
+
+    def test_pairs_empty(self, reranker_client):
+        assert reranker_client.rerank_pairs_sync([], []) == []
