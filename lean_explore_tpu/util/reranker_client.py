@@ -99,15 +99,18 @@ class RerankerClient:
         )
         return np.asarray(scores)[: batch.n_valid]
 
-    def rerank_sync(self, query: str, documents: list[str]) -> RerankerResponse:
+    def rerank_sync(
+        self, query: str, documents: list[str], batch_size: int | None = None
+    ) -> RerankerResponse:
         """Score documents against the query synchronously."""
         if not documents:
             return RerankerResponse(query=query, scores=[], model=self.model_name)
+        step = batch_size or self.batch_size
         pairs = [self._format_pair(query, d) for d in documents]
         all_scores: list[float] = []
-        for start in range(0, len(pairs), self.batch_size):
+        for start in range(0, len(pairs), step):
             all_scores.extend(
-                float(s) for s in self._score_batch(pairs[start : start + self.batch_size])
+                float(s) for s in self._score_batch(pairs[start : start + step])
             )
         return RerankerResponse(query=query, scores=all_scores, model=self.model_name)
 
@@ -148,10 +151,6 @@ class RerankerClient:
         batch_size: int | None = None,
     ) -> RerankerResponse:
         """Async surface matching the reference (reranker_client.py:164-204)."""
-        if batch_size is not None:
-            saved, self.batch_size = self.batch_size, batch_size
-            try:
-                return await asyncio.to_thread(self.rerank_sync, query, documents)
-            finally:
-                self.batch_size = saved
-        return await asyncio.to_thread(self.rerank_sync, query, documents)
+        return await asyncio.to_thread(
+            self.rerank_sync, query, documents, batch_size
+        )
