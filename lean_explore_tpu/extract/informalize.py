@@ -174,7 +174,7 @@ async def informalize_declarations(
     # Seed name->description map with everything already in this store.
     informalizations_by_name: dict[str, str] = {
         d.name: d.informalization
-        for d in store.iter_all()
+        for d in store.iter_all(with_embeddings=False)
         if d.informalization
     }
 

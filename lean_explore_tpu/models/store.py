@@ -264,13 +264,21 @@ class DeclarationStore:
             ).fetchone()
         return _row_to_declaration(row) if row else None
 
-    def iter_all(self, batch_size: int = 1024) -> Iterator[Declaration]:
-        """Stream every row in id order (index build)."""
+    def iter_all(
+        self, batch_size: int = 1024, *, with_embeddings: bool = True
+    ) -> Iterator[Declaration]:
+        """Stream every row in id order (index build).
+
+        Pass with_embeddings=False when only metadata is needed — decoding
+        the 4KB embedding blob per row dominates iteration cost otherwise.
+        """
+        columns = "*" if with_embeddings else _METADATA_COLUMNS
         last_id = -1
         while True:
             with self._lock:
                 rows = self._conn.execute(
-                    "SELECT * FROM declarations WHERE id > ? ORDER BY id LIMIT ?",
+                    f"SELECT {columns} FROM declarations WHERE id > ? "
+                    "ORDER BY id LIMIT ?",
                     (last_id, batch_size),
                 ).fetchall()
             if not rows:

@@ -28,7 +28,7 @@ def pairs_from_store(store: DeclarationStore) -> list[tuple[str, str]]:
     ``**Title.**`` header when present (semantic query).
     """
     pairs: list[tuple[str, str]] = []
-    for decl in store.iter_all():
+    for decl in store.iter_all(with_embeddings=False):
         if not decl.informalization:
             continue
         document = decl.informalization
