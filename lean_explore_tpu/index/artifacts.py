@@ -44,7 +44,7 @@ MANIFEST_FILE = "manifest.json"
 class IndexArtifacts:
     """In-memory handle to a loaded artifact set."""
 
-    dense: DenseIndex
+    dense: "DenseIndex"  # or parallel.ShardedDenseIndex (same search surface)
     bm25_spaced: Bm25Index
     bm25_raw: Bm25Index
     bm25_ids: np.ndarray
@@ -126,10 +126,52 @@ def build_index_artifacts(
     return manifest
 
 
+def _load_dense(directory: Path, dense_dtype: str, mesh):
+    """Single-device DenseIndex, or ShardedDenseIndex when a mesh is active.
+
+    ``mesh`` may be a jax Mesh, None to consult ``Config.MESH_SHAPE``
+    (env ``LEAN_EXPLORE_MESH_SHAPE``) — one env var turns multi-chip serving
+    on for the whole product path (engine, service, MCP, CLI) — or False to
+    force single-device regardless of config.
+    """
+    if mesh is None:
+        from lean_explore_tpu.parallel.mesh import serve_mesh_from_config
+
+        mesh = serve_mesh_from_config()
+    if mesh is None or mesh is False:
+        return DenseIndex.load(directory, dtype=dense_dtype)
+
+    from lean_explore_tpu.index.dense import EMBEDDINGS_FILE, IDS_FILE
+    from lean_explore_tpu.parallel.sharded import ShardedDenseIndex
+
+    emb_path = directory / EMBEDDINGS_FILE
+    ids_path = directory / IDS_FILE
+    for p in (emb_path, ids_path):
+        if not p.exists():
+            raise FileNotFoundError(
+                f"Dense index artifact missing: {p}. Run 'lean-explore data "
+                "fetch' or the extraction pipeline first."
+            )
+    logger.info(
+        "Loading dense index sharded over mesh %s", dict(mesh.shape)
+    )
+    return ShardedDenseIndex(
+        np.load(emb_path), np.load(ids_path), mesh, dtype=dense_dtype
+    )
+
+
 def load_index_artifacts(
-    directory: str | Path, *, dense_dtype: str = "float32"
+    directory: str | Path, *, dense_dtype: str = "float32", mesh=None
 ) -> IndexArtifacts:
-    """Load an artifact set; raises FileNotFoundError on incomplete dirs."""
+    """Load an artifact set; raises FileNotFoundError on incomplete dirs.
+
+    Args:
+        directory: Artifact directory.
+        dense_dtype: On-device corpus dtype.
+        mesh: Optional jax Mesh for corpus-sharded serving; defaults to the
+            mesh configured by ``LEAN_EXPLORE_MESH_SHAPE`` (None = single
+            device).
+    """
     directory = Path(directory)
     manifest_path = directory / MANIFEST_FILE
     if not manifest_path.exists():
@@ -139,7 +181,7 @@ def load_index_artifacts(
         )
     manifest = json.loads(manifest_path.read_text())
     return IndexArtifacts(
-        dense=DenseIndex.load(directory, dtype=dense_dtype),
+        dense=_load_dense(directory, dense_dtype, mesh),
         bm25_spaced=Bm25Index.load(directory / BM25_SPACED_FILE),
         bm25_raw=Bm25Index.load(directory / BM25_RAW_FILE),
         bm25_ids=np.load(directory / BM25_IDS_FILE),

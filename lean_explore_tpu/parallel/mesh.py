@@ -49,3 +49,20 @@ def make_mesh(
     grid = np.asarray(devices[:total]).reshape(shape)
     logger.info("Mesh %s over %d devices (%s)", shape, total, axis_names)
     return Mesh(grid, axis_names)
+
+
+def serve_mesh_from_config() -> Mesh | None:
+    """Build the serving mesh from ``Config.MESH_SHAPE``, or None.
+
+    One env var (``LEAN_EXPLORE_MESH_SHAPE=data,corpus`` e.g. ``2,4``) turns
+    multi-chip serving on: ``load_index_artifacts`` consults this and places
+    the dense index as a ``ShardedDenseIndex`` over the returned mesh — the
+    product path for BASELINE config 5 (the reference has no analogue; it is
+    single-process, SURVEY.md §2c).
+    """
+    from lean_explore_tpu.config import Config
+
+    shape = Config.mesh_shape()
+    if shape is None:
+        return None
+    return make_mesh(shape, axis_names=SERVE_AXES)

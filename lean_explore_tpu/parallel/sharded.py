@@ -127,18 +127,29 @@ class ShardedDenseIndex:
         *,
         dtype: str = "float32",
         chunk: int = 8192,
-        method: str = "chunked",
+        method: str = "auto",
     ):
         if embeddings.shape[0] != len(ids):
             raise ValueError("ids length must match embedding rows")
+        if str(dtype) == "int8":
+            raise ValueError(
+                "int8 quantization is not supported for sharded serving; "
+                "use bfloat16 (LEAN_EXPLORE_CORPUS_DTYPE=bfloat16)"
+            )
         self.mesh = mesh
         self.ids = np.asarray(ids, dtype=np.int64)
         self.n = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.chunk = chunk
-        self.method = method
 
         n_corpus = mesh.shape["corpus"]
+        if method == "auto":
+            # Same crossover as ops.dense.dense_topk, judged per shard: small
+            # shards use the exact scan (cheap and bit-exact), large shards
+            # the TPU PartialReduce selection.
+            shard_rows = (self.n + n_corpus - 1) // n_corpus
+            method = "chunked" if shard_rows <= 16384 else "approx"
+        self.method = method
         padded = ((self.n + n_corpus - 1) // n_corpus) * n_corpus
         mat = np.zeros((max(padded, n_corpus), self.dim), dtype=np.float32)
         mat[: self.n] = np.asarray(embeddings, dtype=np.float32)
@@ -174,3 +185,7 @@ class ShardedDenseIndex:
         scores = np.asarray(jax.device_get(scores))[:batch]
         idx = np.asarray(jax.device_get(idx))[:batch]
         return scores, self.ids[idx]
+
+    def row_embeddings(self) -> np.ndarray:
+        """Host copy of the (unpadded) matrix, float32 — DenseIndex parity."""
+        return np.asarray(self.embeddings, dtype=np.float32)[: self.n]

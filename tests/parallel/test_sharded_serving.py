@@ -1,0 +1,162 @@
+"""Sharded serving through the PRODUCT path (BASELINE config 5).
+
+One env knob (``LEAN_EXPLORE_MESH_SHAPE`` -> ``Config.MESH_SHAPE``) must turn
+multi-chip serving on for the real engine: ``load_index_artifacts`` builds a
+``ShardedDenseIndex`` over the configured mesh and ``Service.search_batch``
+runs end-to-end against it. The reference has no distributed analogue
+(single-process, SURVEY.md §2c); parity target is *equality with the
+single-device engine's output* on the same artifacts.
+
+Runs on the virtual 8-device CPU mesh (tests/conftest.py).
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from lean_explore_tpu.config import Config
+from lean_explore_tpu.index import build_index_artifacts, load_index_artifacts
+from lean_explore_tpu.index.dense import DenseIndex
+from lean_explore_tpu.models import Declaration, DeclarationStore
+from lean_explore_tpu.parallel import ShardedDenseIndex
+from lean_explore_tpu.parallel.mesh import serve_mesh_from_config
+from lean_explore_tpu.search.engine import SearchEngine
+from lean_explore_tpu.search.service import Service
+
+from tests.search.test_engine import FakeEmbeddingClient, FakeRerankerClient
+
+DIM = 16
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    """Tiny but non-degenerate artifact set: 40 declarations, 32 embedded."""
+    path = tmp_path_factory.mktemp("sharded_arts")
+    store = DeclarationStore(path / "declarations.db", create=True)
+    rng = np.random.default_rng(7)
+    decls = []
+    for i in range(40):
+        has_emb = i < 32
+        emb = None
+        if has_emb:
+            v = rng.standard_normal(DIM).astype(np.float32)
+            emb = (v / np.linalg.norm(v)).tolist()
+        decls.append(
+            Declaration(
+                name=f"Pkg{i % 3}.Decl{i}",
+                module=f"Pkg{i % 3}.Mod{i % 5}",
+                docstring=f"doc {i}",
+                source_text=f"def Decl{i} := ...",
+                source_link=f"https://github.com/x/{i}",
+                dependencies=json.dumps([f"Pkg{(i + 1) % 3}.Decl{(i + 1) % 40}"]),
+                informalization=f"**Decl{i}.** informal text number {i}",
+                informalization_embedding=emb,
+            )
+        )
+    store.insert_many(decls)
+    build_index_artifacts(store, path)
+    store.close()
+    return path
+
+
+@pytest.fixture
+def mesh_config(monkeypatch):
+    """Activate a (2, 4) serving mesh via the Config knob."""
+    monkeypatch.setattr(Config, "MESH_SHAPE", "2,4")
+    yield
+
+
+class FakeEmbedder(FakeEmbeddingClient):
+    """Deterministic random-direction query embeddings at this corpus DIM."""
+
+    def __init__(self):
+        super().__init__()
+        self.query_map = {}
+
+    async def embed(self, texts, is_query=False):
+        from lean_explore_tpu.util.embedding_client import EmbeddingResponse
+
+        self.calls.append(list(texts))
+        embeddings = []
+        for t in texts:
+            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            v = rng.standard_normal(DIM).astype(np.float32)
+            embeddings.append((v / np.linalg.norm(v)).tolist())
+        return EmbeddingResponse(
+            texts=list(texts), embeddings=embeddings, model="fake"
+        )
+
+
+def make_engine(artifact_dir, mesh=None) -> SearchEngine:
+    return SearchEngine(
+        artifact_dir,
+        store=DeclarationStore(artifact_dir / "declarations.db"),
+        artifacts=load_index_artifacts(artifact_dir, mesh=mesh),
+        embedding_client=FakeEmbedder(),
+        reranker_client=FakeRerankerClient(marker="7"),
+    )
+
+
+class TestConfigWiring:
+    def test_no_mesh_by_default(self, artifact_dir):
+        arts = load_index_artifacts(artifact_dir)
+        assert isinstance(arts.dense, DenseIndex)
+
+    def test_mesh_shape_env_builds_sharded_index(self, artifact_dir, mesh_config):
+        mesh = serve_mesh_from_config()
+        assert mesh is not None and dict(mesh.shape) == {"data": 2, "corpus": 4}
+        arts = load_index_artifacts(artifact_dir)
+        assert isinstance(arts.dense, ShardedDenseIndex)
+        assert arts.dense.n == 32
+
+    def test_explicit_mesh_overrides(self, artifact_dir):
+        from lean_explore_tpu.parallel import SERVE_AXES, make_mesh
+
+        mesh = make_mesh((1, 8), axis_names=SERVE_AXES)
+        arts = load_index_artifacts(artifact_dir, mesh=mesh)
+        assert isinstance(arts.dense, ShardedDenseIndex)
+        assert dict(arts.dense.mesh.shape) == {"data": 1, "corpus": 8}
+
+    def test_int8_rejected_for_sharded(self, artifact_dir, mesh_config):
+        with pytest.raises(ValueError, match="int8"):
+            load_index_artifacts(artifact_dir, dense_dtype="int8")
+
+
+class TestShardedEngineParity:
+    """Sharded engine output == single-device engine output, bit for bit."""
+
+    QUERIES = [
+        "informal text number 7",
+        "Decl3",
+        "Pkg1 declarations",
+        "",  # empty query must stay empty
+    ]
+
+    def test_search_batch_equality(self, artifact_dir, mesh_config):
+        sharded_engine = make_engine(artifact_dir)
+        assert isinstance(sharded_engine._artifacts.dense, ShardedDenseIndex)
+        single_engine = make_engine(artifact_dir, mesh=False)
+        assert isinstance(single_engine._artifacts.dense, DenseIndex)
+
+        got = run(Service(sharded_engine).search_batch(self.QUERIES, limit=10))
+        want = run(Service(single_engine).search_batch(self.QUERIES, limit=10))
+        for g, w in zip(got, want):
+            assert [r.id for r in g.results] == [r.id for r in w.results]
+            assert g.count == w.count
+
+    def test_single_query_service_path(self, artifact_dir, mesh_config):
+        engine = make_engine(artifact_dir)
+        resp = run(Service(engine).search("informal text number 12"))
+        assert resp.count > 0
+        assert all(r.name for r in resp.results)
+
+    def test_get_by_id_unaffected(self, artifact_dir, mesh_config):
+        engine = make_engine(artifact_dir)
+        result = run(engine.get_by_id(1))
+        assert result is not None and result.id == 1
