@@ -17,6 +17,14 @@ test-all:
 bench:
 	python bench.py
 
+lint:
+	@if command -v ruff >/dev/null 2>&1; then \
+		ruff check lean_explore_tpu tests scripts bench.py __graft_entry__.py; \
+	else \
+		echo "ruff unavailable; running syntax check only"; \
+		python -m compileall -q lean_explore_tpu tests scripts bench.py __graft_entry__.py; \
+	fi
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf build dist *.egg-info .pytest_cache

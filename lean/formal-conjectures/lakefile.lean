@@ -8,5 +8,5 @@ package «formal-conjectures-extract-ws» where
 require «doc-gen4» from git
   "https://github.com/leanprover/doc-gen4" @ "main"
 
-require «formal-conjectures» from git
-  "https://github.com/google-deepmind/formal-conjectures"
+require «formal_conjectures» from git
+  "https://github.com/google-deepmind/formal-conjectures" @ "main"

@@ -41,7 +41,7 @@ def enc_name(dotted: str) -> bytes:
     tags = bytearray()
     payloads = bytearray()
     for part in parts:
-        if part.isdigit():
+        if part.isdigit() and part.isascii():  # Name.num is ASCII numerals
             tags.append(2)
             payloads.extend(enc_nat(int(part)))
         else:
