@@ -351,17 +351,48 @@ def construct_source_link(
 # Format parsers
 # ----------------------------------------------------------------------
 
-_DOCGEN_SQL = """
+def _docgen_sql(tables: set[str]) -> str:
+    """Build the extraction query for the tables this api-docs.db carries.
+
+    Doc-gen4 stores docstrings as markdown text OR Verso binary BLOBs, never
+    both (reference doc_parser.py:541-562). Markdown is used; Verso-only
+    rows are surfaced as docstring=None and counted so the log shows what
+    was dropped.
+    """
+    select_verso = (
+        "v.content AS verso_docstring"
+        if "declaration_verso_docstrings" in tables
+        else "NULL AS verso_docstring"
+    )
+    join_markdown = (
+        """LEFT JOIN declaration_markdown_docstrings d
+        ON n.module_name = d.module_name AND n.position = d.position"""
+        if "declaration_markdown_docstrings" in tables
+        else ""
+    )
+    select_markdown = (
+        "d.text AS docstring"
+        if "declaration_markdown_docstrings" in tables
+        else "NULL AS docstring"
+    )
+    join_verso = (
+        """LEFT JOIN declaration_verso_docstrings v
+        ON n.module_name = v.module_name AND n.position = v.position"""
+        if "declaration_verso_docstrings" in tables
+        else ""
+    )
+    return f"""
     SELECT
         n.module_name, n.name, n.type,
         r.start_line, r.end_line,
-        d.text AS docstring,
+        {select_markdown},
+        {select_verso},
         m.source_url
     FROM name_info n
     JOIN declaration_ranges r
         ON n.module_name = r.module_name AND n.position = r.position
-    LEFT JOIN declaration_markdown_docstrings d
-        ON n.module_name = d.module_name AND n.position = d.position
+    {join_markdown}
+    {join_verso}
     JOIN modules m ON n.module_name = m.name
     WHERE n.render = 1
     ORDER BY n.module_name, n.position
@@ -423,11 +454,17 @@ def parse_sqlite_docs(
         )
 
     declarations: list[ParsedDeclaration] = []
-    stats = {"prefix": 0, "mk": 0, "no_source": 0, "source_error": 0}
+    stats = {"prefix": 0, "mk": 0, "no_source": 0, "source_error": 0, "verso": 0}
     conn = sqlite3.connect(str(database_path))
     conn.row_factory = sqlite3.Row
     try:
-        for row in conn.execute(_DOCGEN_SQL):
+        tables = {
+            row[0]
+            for row in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        }
+        for row in conn.execute(_docgen_sql(tables)):
             module = row["module_name"]
             name = row["name"]
             if not allowed(module):
@@ -458,11 +495,17 @@ def parse_sqlite_docs(
                 names = extract_type_dependencies(bytes(row["type"]))
                 names = [d for d in names if d != name]
                 deps = names or None
+            docstring = row["docstring"]
+            if not docstring and row["verso_docstring"]:
+                # Verso-only docstring: binary format, not yet decoded —
+                # stored as None, counted below (reference doc_parser.py:652-683).
+                stats["verso"] += 1
+                docstring = None
             declarations.append(
                 ParsedDeclaration(
                     name=name,
                     module=module,
-                    docstring=row["docstring"],
+                    docstring=docstring,
                     source_text=source_text,
                     source_link=link,
                     dependencies=deps,
@@ -470,6 +513,11 @@ def parse_sqlite_docs(
             )
     finally:
         conn.close()
+    if stats["verso"]:
+        logger.warning(
+            "%d declarations have Verso-only docstrings (stored as None)",
+            stats["verso"],
+        )
     logger.info(
         "api-docs.db: %d parsed (skipped prefix=%d mk=%d no-src=%d err=%d)",
         len(declarations), stats["prefix"], stats["mk"],
