@@ -6,11 +6,16 @@ exact serving geometry: 1024-d, L2-normalized), 128-query batches, k=1000
 
     {"metric": ..., "value": QPS, "unit": "queries/sec", "vs_baseline": x}
 
-vs_baseline = TPU QPS / CPU QPS for the identical exact search computed in
-numpy on this host (matmul + argpartition) — the stand-in for the
-reference's faiss-cpu scan, which is unavailable in this image. recall@10 of
-the bfloat16 serving path is measured against a float32 HIGHEST-precision
-exact search computed on device and reported in the same line.
+vs_baseline = TPU QPS / estimated faiss-cpu IVF QPS on this host. faiss is
+not installable here (zero egress; see PARITY.md), so the baseline is an
+exact numpy scan (matmul + argpartition) scaled by the fraction of the
+corpus the reference's IVF configuration actually scans: nprobe=64 of
+nlist=max(256, sqrt(N)) cells (reference extract/index.py:95-104,
+engine.py:247-249), plus the nlist-probe quantizer matmul. The raw
+exact-scan comparison is reported alongside as vs_exact_cpu_scan — it is
+the larger, *less* honest number (the reference never serves an exact
+scan). recall@10 of the bfloat16 serving path is measured against a float32
+HIGHEST-precision exact search computed on device in the same line.
 
 Environment notes (axon relay): host<->device transfers ride a tunnel with
 ~0.5s per-dispatch RPC latency, highly variable bulk bandwidth, and
@@ -197,6 +202,262 @@ def bench_fusion_pipeline() -> None:
     )
 
 
+def _make_bench_tokenizer(tmp_dir: str):
+    """Word-level tokenizer over the bench vocabulary (incl. true/false)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "<unk>": 1, "<eos>": 2, "true": 3, "false": 4}
+    for i in range(3000):
+        vocab[f"w{i}"] = len(vocab)
+    for w in (
+        "instruct", "given", "a", "web", "search", "query", "retrieve",
+        "relevant", "passages", "that", "answer", "the", "find", "lean",
+        "math", "declarations", "nat", "thing", "does", "stuff", ":", ".",
+        "<", ">", "**", "4",
+    ):
+        vocab.setdefault(w, len(vocab))
+    for i in range(200):
+        vocab.setdefault(str(i), len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(f"{tmp_dir}/tokenizer.json")
+    return PreTrainedTokenizerFast(
+        tokenizer_file=f"{tmp_dir}/tokenizer.json",
+        pad_token="<pad>",
+        eos_token="<eos>",
+        unk_token="<unk>",
+    )
+
+
+def _qwen06b_config():
+    from lean_explore_tpu.models import qwen3
+
+    return qwen3.Qwen3Config(
+        vocab_size=4096,  # bench tokenizer vocab; embed table row count only
+        hidden_size=1024,
+        num_hidden_layers=28,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+        intermediate_size=3072,
+    )
+
+
+def bench_full_pipeline() -> None:
+    """BENCH_MODE=pipeline: BASELINE config 4 — the reference's full local
+    hot path (engine.py:534-606) end-to-end: encode -> dense + BM25 ->
+    RRF -> dependency boost -> cross-encoder rerank (top 50) -> final
+    fusion, through the REAL engine and REAL clients at the real 0.6B
+    geometry (random bf16 weights). Reports QPS, per-stage timings, and an
+    honest torch-CPU estimate of the same per-query work (the reference's
+    actual runtime) measured with the installed transformers stack."""
+    import asyncio
+    import tempfile
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lean_explore_tpu.index import IndexArtifacts
+    from lean_explore_tpu.index.artifacts import build_bm25_name_indices
+    from lean_explore_tpu.index.dense import DenseIndex
+    from lean_explore_tpu.models import Declaration, DeclarationStore, qwen3
+    from lean_explore_tpu.ops import l2_normalize
+    from lean_explore_tpu.search.engine import SearchEngine
+    from lean_explore_tpu.util.embedding_client import EmbeddingClient
+    from lean_explore_tpu.util.profiling import StageTimings
+    from lean_explore_tpu.util.reranker_client import RerankerClient
+
+    n = int(os.environ.get("BENCH_N", 300_000))
+    batch = int(os.environ.get("BENCH_B", 128))
+    rerank_top = int(os.environ.get("BENCH_RERANK_TOP", 50))
+    reps = int(os.environ.get("BENCH_DISPATCHES", 2))
+    run_torch = os.environ.get("BENCH_TORCH", "1") == "1"
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    tokenizer = _make_bench_tokenizer(tmp)
+    config = _qwen06b_config()
+
+    log("initializing 0.6B-geometry clients (random bf16 weights) ...")
+    embed_params = jax.device_put(
+        qwen3.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    rerank_params = jax.device_put(
+        qwen3.init_params(config, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    )
+    jax.block_until_ready((embed_params, rerank_params))
+
+    embedder = object.__new__(EmbeddingClient)
+    embedder.model_name = "bench-qwen3-0.6b-embed"
+    embedder.model_dir = tmp
+    embedder.max_length = 512
+    embedder.batch_size = batch
+    embedder.append_eos = True
+    embedder.tokenizer = tokenizer
+    embedder.params, embedder.config = embed_params, config
+    embedder.query_prompt = "instruct : given a web search query retrieve : "
+    embedder.mesh = None
+    embedder._data_sharding = None
+
+    reranker = object.__new__(RerankerClient)
+    reranker.model_name = "bench-qwen3-0.6b-rerank"
+    reranker.model_dir = tmp
+    reranker.max_length = 256
+    reranker.instruction = "find relevant lean 4 math declarations"
+    reranker.batch_size = int(os.environ.get("BENCH_RERANK_BATCH", 128))
+    reranker.tokenizer = tokenizer
+    reranker.params, reranker.config = rerank_params, config
+    reranker.token_true_id = tokenizer.convert_tokens_to_ids("true")
+    reranker.token_false_id = tokenizer.convert_tokens_to_ids("false")
+
+    # Corpus: metadata rows on host sqlite; dense matrix generated on device
+    # (bulk tunnel uploads are pathological; values don't affect throughput).
+    log(f"building {n}-row metadata store + on-device dense index ...")
+    store = DeclarationStore(f"{tmp}/declarations.db", create=True)
+    words = [f"w{i}" for i in range(3000)]
+    rows = []
+    names = []
+    for i in range(n):
+        name = f"Pkg{i % 7}.ns{i % 53}.{words[i % 3000]}{i}"
+        names.append(name)
+        deps = (
+            json.dumps(
+                [f"Pkg{(i + j) % 7}.ns{(i + j) % 53}.{words[(i + j) % 3000]}{i - j}"
+                 for j in range(1, i % 4 + 1)]
+            )
+            if i % 3
+            else None
+        )
+        rows.append(
+            Declaration(
+                name=name,
+                module=f"Pkg{i % 7}.Mod{i % 101}",
+                source_text=f"def {name} := x{i}",
+                source_link=f"https://example/{i}",
+                dependencies=deps,
+                informalization=(
+                    f"**Thing {i}.** does {words[i % 3000]} "
+                    f"{words[(i * 7) % 3000]} stuff {i % 200}"
+                ),
+            )
+        )
+        if len(rows) == 10_000:
+            store.insert_many(rows)
+            rows = []
+    if rows:
+        store.insert_many(rows)
+
+    corpus = jax.jit(
+        lambda key: l2_normalize(
+            jax.random.normal(key, (n, config.hidden_size), jnp.float32)
+        ).astype(jnp.bfloat16)
+    )(jax.random.PRNGKey(2))
+    jax.block_until_ready(corpus)
+    dense = DenseIndex(corpus, np.arange(1, n + 1), normalized=True)
+    bm25_spaced, bm25_raw = build_bm25_name_indices(names)
+    artifacts = IndexArtifacts(
+        dense=dense,
+        bm25_spaced=bm25_spaced,
+        bm25_raw=bm25_raw,
+        bm25_ids=np.arange(1, n + 1),
+        manifest={"bench": True},
+    )
+    engine = SearchEngine(
+        tmp,
+        store=store,
+        artifacts=artifacts,
+        embedding_client=embedder,
+        reranker_client=reranker,
+    )
+    log("artifacts ready; warming (compiles encode/dense/rerank programs) ...")
+
+    def queries_for(rep):
+        return [
+            f"{words[(i * 13 + rep * 31) % 3000]} nat thing {(i + rep) % 97}"
+            for i in range(batch)
+        ]
+
+    async def run_batch(qs, timings):
+        return await engine.search_batch(
+            qs, limit=20, rerank_top=rerank_top, timings=timings
+        )
+
+    asyncio.run(run_batch(queries_for(999), StageTimings()))  # warm/compile
+    log("warm done; timing ...")
+    stage_totals: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        timings = StageTimings()
+        results = asyncio.run(run_batch(queries_for(rep), timings))
+        for stage, ms in timings.as_dict().items():
+            stage_totals[stage] = stage_totals.get(stage, 0.0) + ms
+    elapsed = (time.perf_counter() - t0) / reps
+    qps = batch / elapsed
+    assert all(results), "pipeline returned empty results"
+    stage_ms = {k: round(v / reps, 1) for k, v in stage_totals.items()}
+    log(f"stage ms/batch: {stage_ms}")
+
+    cpu_qps = None
+    if run_torch:
+        cpu_qps = _torch_pipeline_baseline(tokenizer, batch, rerank_top)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_hybrid_rerank{rerank_top}_qps_n{n}_b{batch}",
+                "value": round(qps, 2),
+                "unit": "queries/sec",
+                "vs_baseline": (
+                    round(qps / cpu_qps, 2) if cpu_qps else None
+                ),
+                "baseline": "torch-cpu 0.6B encode+rerank estimate (installed "
+                "transformers stack, same texts)",
+                "batch_latency_ms": round(elapsed * 1000, 1),
+                "stage_ms": stage_ms,
+                "cpu_estimate_qps": round(cpu_qps, 3) if cpu_qps else None,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+def _torch_pipeline_baseline(tokenizer, batch: int, rerank_top: int):
+    """Per-query torch-CPU cost of the model work the reference does:
+    1 query encode + rerank_top cross-encoder pairs, at 0.6B, measured with
+    the installed torch/transformers (the reference's runtime)."""
+    try:
+        import torch
+        import transformers
+    except ImportError:
+        return None
+    log("torch-CPU baseline: one 0.6B forward (this takes a minute) ...")
+    cfg = transformers.Qwen3Config(
+        vocab_size=4096,
+        hidden_size=1024,
+        intermediate_size=3072,
+        num_hidden_layers=28,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+        tie_word_embeddings=True,
+    )
+    with torch.no_grad():
+        model = transformers.Qwen3ForCausalLM(cfg).eval()
+        ids = torch.randint(5, 3000, (8, 32))
+        t0 = time.perf_counter()
+        model(input_ids=ids)
+        per_pair = (time.perf_counter() - t0) / 8  # seconds per T=32 sequence
+    # Reference per query: 1 encode forward + rerank_top rerank forwards
+    # (same short-text lengths as the TPU side above).
+    per_query = per_pair * (rerank_top + 1)
+    log(
+        f"torch-CPU: {per_pair * 1000:.0f} ms/sequence -> "
+        f"{1 / per_query:.3f} q/s at rerank_top={rerank_top}"
+    )
+    return 1.0 / per_query
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "retrieval")
     if mode in ("encode", "rerank"):
@@ -204,6 +465,9 @@ def main() -> None:
         return
     if mode == "fusion":
         bench_fusion_pipeline()
+        return
+    if mode == "pipeline":
+        bench_full_pipeline()
         return
     n = int(os.environ.get("BENCH_N", 300_000))
     batch = int(os.environ.get("BENCH_B", 128))
@@ -328,9 +592,19 @@ def main() -> None:
     t0 = time.perf_counter()
     cpu_scores = cpu_queries @ cpu_corpus.T
     np.argpartition(-cpu_scores, cpu_k - 1, axis=1)
-    cpu_elapsed = (time.perf_counter() - t0) * (n / cpu_n)
-    cpu_qps = batch / cpu_elapsed
-    log(f"CPU: {cpu_qps:.1f} q/s (scaled {cpu_elapsed:.2f}s/batch)")
+    cpu_exact_elapsed = (time.perf_counter() - t0) * (n / cpu_n)
+    cpu_exact_qps = batch / cpu_exact_elapsed
+
+    # Estimated faiss-cpu IVF at the reference's serving config: scans
+    # nprobe/nlist of the corpus, plus the quantizer's nlist-probe matmul.
+    nlist = max(256, int(np.sqrt(n)))
+    scan_fraction = min(64 / nlist, 1.0) + nlist / n
+    cpu_ivf_qps = cpu_exact_qps / scan_fraction
+    log(
+        f"CPU exact scan: {cpu_exact_qps:.1f} q/s; estimated IVF "
+        f"(nlist={nlist}, nprobe=64, scans {scan_fraction:.1%}): "
+        f"{cpu_ivf_qps:.1f} q/s"
+    )
 
     print(
         json.dumps(
@@ -338,10 +612,13 @@ def main() -> None:
                 "metric": f"dense_retrieval_qps_n{n}_b{batch}_k{k}_{dtype}",
                 "value": round(tpu_qps, 2),
                 "unit": "queries/sec",
-                "vs_baseline": round(tpu_qps / cpu_qps, 2),
+                "vs_baseline": round(tpu_qps / cpu_ivf_qps, 2),
+                "baseline": "estimated faiss-cpu IVF nprobe=64 on this host",
+                "vs_exact_cpu_scan": round(tpu_qps / cpu_exact_qps, 2),
                 "recall_at_10": round(recall, 4),
                 "batch_latency_ms": round(per_batch_ms, 3),
-                "cpu_baseline_qps": round(cpu_qps, 2),
+                "cpu_ivf_estimate_qps": round(cpu_ivf_qps, 2),
+                "cpu_exact_scan_qps": round(cpu_exact_qps, 2),
                 "platform": devices[0].platform,
                 "method": method,
             }

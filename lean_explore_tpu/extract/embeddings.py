@@ -25,6 +25,25 @@ logger = logging.getLogger(__name__)
 DEFAULT_BATCH_SIZE = 250
 
 
+def _embed_mesh():
+    """All-device DP mesh for corpus embedding when multi-chip is configured.
+
+    LEAN_EXPLORE_MESH_SHAPE opts the whole product into multi-chip; for the
+    index-build embed stage every chip goes on the ``data`` axis (the trunk
+    is replicated — 0.6B fits one chip; sharding batches is the win)."""
+    from lean_explore_tpu.config import Config
+
+    shape = Config.mesh_shape()
+    if shape is None:
+        return None
+    import jax
+
+    from lean_explore_tpu.parallel.mesh import SERVE_AXES, make_mesh
+
+    n = min(shape[0] * shape[1], len(jax.devices()))
+    return make_mesh((n, 1), axis_names=SERVE_AXES)
+
+
 def load_embedding_cache(database_files: list[Path]) -> dict[str, list[float]]:
     """informalization text -> embedding, scanned across prior databases."""
     cache: dict[str, list[float]] = {}
@@ -106,6 +125,7 @@ def generate_embeddings(
             model_name or Config.EMBEDDING_MODEL_NAME,
             max_length=Config.EMBEDDING_MAX_LENGTH,
             batch_size=batch_size,
+            mesh=_embed_mesh(),
         )
 
     written = len(cached_rows)

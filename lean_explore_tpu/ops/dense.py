@@ -35,7 +35,7 @@ from jax import lax
 
 NEG_INF = float("-inf")
 
-Method = Literal["auto", "approx", "chunked", "windowed", "full"]
+Method = Literal["auto", "approx", "fused", "chunked", "windowed", "full"]
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -202,6 +202,27 @@ def dense_topk(
     if method == "approx":
         return _approx_topk(
             queries, corpus, n_valid, k=k, recall_target=recall_target
+        )
+    if method == "fused":
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
+
+        tile_rows = 512
+        corpus, _ = pad_rows(corpus, tile_rows)
+        bins = 8192
+        while bins > corpus.shape[0] and bins > 2 * tile_rows:
+            bins //= 2
+        bins = max(bins, tile_rows)
+        if k > bins:  # tiny corpora: the full scan is exact and cheap
+            return _full_topk(queries, corpus, n_valid, k=k)
+        return pallas_bin_topk(
+            queries,
+            corpus,
+            n_valid,
+            k=k,
+            bins=bins,
+            tile_rows=tile_rows,
+            recall_target=recall_target,
+            interpret=jax.default_backend() != "tpu",
         )
     if method == "chunked":
         corpus, _ = pad_rows(corpus, chunk)

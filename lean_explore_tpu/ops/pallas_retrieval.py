@@ -130,6 +130,154 @@ def fused_scores_wmax(
     return scores_t, wmax_t
 
 
+def _bin_topk_kernel(tile_rows: int, bins: int):
+    """Fused matmul + bin-max partial top-k.
+
+    The running candidate set lives in the OUTPUT VMEM blocks (constant
+    index_map => resident across sequential grid steps): per query, the max
+    score (and its provenance) of each of `bins` interleaved corpus subsets.
+    Global row r maps to bin r % bins; because tiles are contiguous, each
+    grid step updates one contiguous [tile_rows] slice of the bin array with
+    a single elementwise max — no sort, no gather, O(N*B) VPU work fused
+    into the MXU pass. The [N, B] score tensor never exists in HBM.
+
+    Provenance: bin b's winner in super-tile p (= j // (bins/tile_rows)) is
+    global row p*bins + b, so an int32 super-tile id per bin suffices.
+    """
+    supertile = bins // tile_rows
+
+    def kernel(n_valid_ref, q_ref, tile_ref, vals_ref, p_ref):
+        j = pl.program_id(0)
+        batch = q_ref.shape[0]
+
+        @pl.when(j == 0)
+        def _init():
+            vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+            p_ref[:] = jnp.zeros_like(p_ref)
+
+        precision = (
+            lax.Precision.HIGHEST
+            if tile_ref.dtype == jnp.float32
+            else lax.Precision.DEFAULT
+        )
+        scores = lax.dot_general(
+            tile_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        row = j * tile_rows + lax.broadcasted_iota(
+            jnp.int32, (tile_rows, batch), 0
+        )
+        scores = jnp.where(row < n_valid_ref[0], scores, NEG_INF)
+
+        sl = pl.ds((j % supertile) * tile_rows, tile_rows)
+        current = vals_ref[sl, :]
+        better = scores > current
+        vals_ref[sl, :] = jnp.where(better, scores, current)
+        p_ref[sl, :] = jnp.where(better, j // supertile, p_ref[sl, :])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "bins", "tile_rows", "recall_target", "exact_epilogue", "interpret"
+    ),
+)
+def pallas_bin_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    k: int,
+    bins: int = 8192,
+    tile_rows: int = 512,
+    recall_target: float = 0.95,
+    exact_epilogue: bool = False,
+    interpret: bool = False,
+):
+    """Fused-selection top-k: one pass over the corpus, tiny epilogue.
+
+    Same contract as ops.dense.dense_topk (scores [B, k] f32 desc, idx
+    [B, k] i32 < n_valid). Approximate with the same bin-survivorship
+    semantics as lax.approx_max_k: a top-k element is lost only when a
+    better element shares its bin (probability < k/bins per element, and
+    ~(10/bins) for the top-10 head, so recall@10 stays ~1.0).
+
+    Args:
+        queries: [B, D]; cast to the corpus dtype for the MXU feed.
+        corpus: [N, D] with N % tile_rows == 0 (ops.dense.pad_rows).
+        n_valid: scalar int32 count of real rows.
+        k: pool size (<= bins).
+        bins: candidate bins per query; VMEM carry is bins*B*8 bytes.
+        tile_rows: corpus rows per grid step (bins % tile_rows == 0).
+        recall_target: epilogue approx_max_k target over the [B, bins] carry.
+        exact_epilogue: use exact lax.top_k over the carry (parity tests).
+        interpret: Pallas interpreter mode (CPU tests).
+    """
+    n, dim = corpus.shape
+    batch = queries.shape[0]
+    if n % tile_rows != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
+    if bins % tile_rows != 0:
+        raise ValueError(f"bins {bins} not a multiple of tile_rows {tile_rows}")
+    if k > bins:
+        raise ValueError(f"k={k} exceeds bins={bins}")
+    num_tiles = n // tile_rows
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((batch, dim), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, dim), lambda j, *_: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (bins, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bins, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    vals, supertiles = pl.pallas_call(
+        _bin_topk_kernel(tile_rows, bins),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bins, batch), jnp.float32),
+            jax.ShapeDtypeStruct((bins, batch), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * batch * dim,
+            bytes_accessed=n * dim * corpus.dtype.itemsize + 2 * bins * batch * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(n_valid, dtype=jnp.int32).reshape(1),
+        queries.astype(corpus.dtype),
+        corpus,
+    )
+
+    vals_t = vals.T  # [B, bins]
+    if exact_epilogue:
+        top_scores, bin_pos = lax.top_k(vals_t, k)
+    else:
+        top_scores, bin_pos = lax.approx_max_k(
+            vals_t, k, recall_target=recall_target
+        )
+        bin_pos = bin_pos.astype(jnp.int32)
+    winner_supertile = jnp.take_along_axis(supertiles.T, bin_pos, axis=1)
+    rows = winner_supertile * bins + bin_pos
+    return top_scores, rows.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "window", "tile_rows", "interpret")
 )

@@ -69,6 +69,7 @@ class EmbeddingClient:
         dtype: str = "bfloat16",
         query_prompt: str | None = None,
         append_eos: bool = True,
+        mesh=None,
     ):
         """Load tokenizer + params and prepare the jitted forward.
 
@@ -82,6 +83,10 @@ class EmbeddingClient:
             dtype: Parameter dtype on device (bfloat16 serving, float32 parity).
             query_prompt: Override the asymmetric query prefix.
             append_eos: Append EOS before pooling (Qwen3 embedding convention).
+            mesh: Optional jax Mesh with a ``data`` axis: parameters are
+                replicated and each batch is sharded over ``data`` (DP), so
+                corpus embedding scales across chips (the index-build hot
+                loop, reference extract/embeddings.py:262-296).
         """
         self.model_name = model_name
         resolved = Path(model_dir) if model_dir else _resolve_model_dir(model_name)
@@ -96,6 +101,41 @@ class EmbeddingClient:
         self.params, self.config = load_params(resolved, dtype=jnp.dtype(dtype))
         self.query_prompt = (
             query_prompt if query_prompt is not None else _read_query_prompt(resolved)
+        )
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            self._data_sharding = NamedSharding(mesh, P("data", None))
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            # Each device batch must split evenly over the data axis.
+            self.batch_size = max(
+                n_data, (self.batch_size // n_data) * n_data
+            )
+            logger.info(
+                "embedding DP over %d devices (batch %d)", n_data, self.batch_size
+            )
+
+    def _device_batch(self, ids: np.ndarray, mask: np.ndarray):
+        """Place one padded token batch, sharding rows over the mesh if set."""
+        if self._data_sharding is None:
+            return jnp.asarray(ids), jnp.asarray(mask)
+        import jax
+
+        n_data = self.mesh.shape["data"]
+        rows = ids.shape[0]
+        padded = ((rows + n_data - 1) // n_data) * n_data
+        if padded != rows:
+            pad = ((0, padded - rows), (0, 0))
+            ids = np.pad(ids, pad)
+            mask = np.pad(mask, pad)
+            mask[rows:, 0] = 1  # fully-masked rows upset pooling; keep 1 token
+        return (
+            jax.device_put(jnp.asarray(ids), self._data_sharding),
+            jax.device_put(jnp.asarray(mask), self._data_sharding),
         )
 
     @property
@@ -118,12 +158,10 @@ class EmbeddingClient:
                 max_length=self.max_length,
                 append_eos=self.append_eos,
             )
-            emb = qwen3_mod.embed_pool(
-                self.params,
-                self.config,
-                jnp.asarray(batch.input_ids),
-                jnp.asarray(batch.attention_mask),
+            ids, mask = self._device_batch(
+                np.asarray(batch.input_ids), np.asarray(batch.attention_mask)
             )
+            emb = qwen3_mod.embed_pool(self.params, self.config, ids, mask)
             out.append(np.asarray(emb)[: batch.n_valid])
         return np.concatenate(out, axis=0)
 

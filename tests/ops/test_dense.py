@@ -161,3 +161,99 @@ class TestPallasKernel:
         # window maxima for fully-padded windows are -inf
         wm = np.asarray(wmax_t)
         assert np.all(np.isneginf(wm[13:]))  # windows beyond ceil(100/8)=13
+
+
+class TestPallasBinTopK:
+    """Interpreter-mode checks of the fused bin-max selection kernel.
+
+    Real-TPU throughput/recall runs in bench.py (BENCH_METHOD=fused)."""
+
+    def _run(self, corpus, queries, n_valid, k, **kw):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
+
+        return pallas_bin_topk(
+            jnp.asarray(queries),
+            jnp.asarray(corpus),
+            jnp.int32(n_valid),
+            k=k,
+            interpret=True,
+            **kw,
+        )
+
+    @pytest.mark.parametrize("n,b,k", [(512, 8, 16), (1024, 4, 64)])
+    def test_exact_when_bins_cover_corpus(self, n, b, k):
+        """bins >= n: every row has its own bin, selection is exact."""
+        corpus = random_unit_rows(n, 128, seed=n)
+        queries = random_unit_rows(b, 128, seed=n + 1)
+        scores, idx = self._run(
+            corpus, queries, n, k,
+            bins=1024, tile_rows=256, exact_epilogue=True,
+        )
+        ref_scores, ref_idx = numpy_topk(queries, corpus, k)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+    def test_provenance_invariant(self):
+        """Every returned (row, score) pair must be genuine — the score IS
+        the inner product of that corpus row, approximate or not."""
+        n, b, k = 2048, 4, 32
+        corpus = random_unit_rows(n, 64, seed=1)
+        queries = random_unit_rows(b, 64, seed=2)
+        scores, idx = self._run(
+            corpus, queries, n, k, bins=512, tile_rows=256
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        assert idx.min() >= 0 and idx.max() < n
+        for q in range(b):
+            want = queries[q] @ corpus[idx[q]].T
+            np.testing.assert_allclose(scores[q], want, atol=1e-5)
+        # descending order
+        assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+    def test_recall_with_collisions(self):
+        """bins < n loses only bin-colliding candidates: recall@10 == 1.0 and
+        recall@k stays near the bin-survivorship expectation."""
+        n, b, k, bins = 4096, 8, 128, 1024
+        corpus = random_unit_rows(n, 64, seed=3)
+        queries = random_unit_rows(b, 64, seed=4)
+        scores, idx = self._run(
+            corpus, queries, n, k, bins=bins, tile_rows=256, exact_epilogue=True
+        )
+        _, ref_idx = numpy_topk(queries, corpus, k)
+        idx = np.asarray(idx)
+        recall10 = np.mean(
+            [len(set(idx[q][:10]) & set(ref_idx[q][:10])) / 10 for q in range(b)]
+        )
+        recallk = np.mean(
+            [len(set(idx[q]) & set(ref_idx[q])) / k for q in range(b)]
+        )
+        assert recall10 == 1.0
+        # survivorship expectation: (bins/k)(1 - exp(-k/bins)) ~ 0.94
+        assert recallk > 0.85
+
+    def test_masks_padding(self):
+        corpus = np.zeros((512, 64), dtype=np.float32)
+        corpus[:300] = random_unit_rows(300, 64, seed=5)
+        queries = random_unit_rows(2, 64, seed=6)
+        scores, idx = self._run(
+            corpus, queries, 300, 16, bins=512, tile_rows=256,
+            exact_epilogue=True,
+        )
+        assert np.asarray(idx).max() < 300
+        assert np.all(np.isfinite(np.asarray(scores)))
+
+    def test_dense_topk_fused_dispatch(self):
+        corpus = random_unit_rows(700, 64, seed=7)
+        queries = random_unit_rows(3, 64, seed=8)
+        scores, idx = dense_topk(queries, corpus, 20, method="fused")
+        ref_scores, ref_idx = numpy_topk(queries, corpus, 20)
+        # bins (1024) >= padded n (1024) here, epilogue approx==exact on CPU
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+    def test_k_exceeding_bins_falls_back_to_full(self):
+        corpus = random_unit_rows(300, 64, seed=9)
+        queries = random_unit_rows(2, 64, seed=10)
+        scores, idx = dense_topk(queries, corpus, 280, method="fused")
+        ref_scores, ref_idx = numpy_topk(queries, corpus, 280)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx)

@@ -160,3 +160,38 @@ class TestShardedEngineParity:
         engine = make_engine(artifact_dir)
         result = run(engine.get_by_id(1))
         assert result is not None and result.id == 1
+
+
+class TestMeshEmbedding:
+    """Corpus embedding DP over the mesh: outputs must equal single-device."""
+
+    def test_dp_embed_equals_single_device(self, tmp_path):
+        from lean_explore_tpu.parallel import SERVE_AXES, make_mesh
+        from lean_explore_tpu.util.embedding_client import EmbeddingClient
+
+        from tests.helpers import make_tiny_model_dir
+
+        ckpt = make_tiny_model_dir(tmp_path / "m", with_st_prompt=True)
+        texts = [f"nat add {i} the sum of two" for i in range(11)]
+
+        single = EmbeddingClient(str(ckpt), dtype="float32", batch_size=8)
+        mesh = make_mesh((8, 1), axis_names=SERVE_AXES)
+        sharded = EmbeddingClient(
+            str(ckpt), dtype="float32", batch_size=8, mesh=mesh
+        )
+        want = single.embed_sync(texts, is_query=True)
+        got = sharded.embed_sync(texts, is_query=True)
+        assert got.shape == want.shape == (11, 64)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_generate_embeddings_uses_mesh_when_configured(
+        self, tmp_path, monkeypatch
+    ):
+        from lean_explore_tpu.extract.embeddings import _embed_mesh
+
+        monkeypatch.setattr(Config, "MESH_SHAPE", "2,4")
+        mesh = _embed_mesh()
+        assert mesh is not None and mesh.shape["data"] == 8
+
+        monkeypatch.setattr(Config, "MESH_SHAPE", "")
+        assert _embed_mesh() is None
