@@ -35,7 +35,9 @@ from jax import lax
 
 NEG_INF = float("-inf")
 
-Method = Literal["auto", "approx", "fused", "chunked", "windowed", "full"]
+Method = Literal[
+    "auto", "approx", "fused", "fused_pallas", "chunked", "windowed", "full"
+]
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -127,6 +129,61 @@ def _windowed_topk(q, corpus, n_valid, *, k: int, window: int):
     return out_scores, out_idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "bins", "recall_target", "exact_epilogue")
+)
+def _scan_bin_topk(
+    q,
+    corpus,
+    n_valid,
+    *,
+    k: int,
+    bins: int = 8192,
+    recall_target: float = 0.95,
+    exact_epilogue: bool = False,
+):
+    """Fused-selection top-k as a pure-XLA scan (no Pallas).
+
+    One matmul per super-tile of `bins` corpus rows, folded into a running
+    per-query bin-max carry ([B, bins] value + super-tile id). The [B, N]
+    score tensor never materializes; carry HBM traffic is 16*N*B bytes
+    (independent of `bins`), far below the 2x154MB the unfused
+    matmul->approx_max_k pipeline moves at the config-3 geometry. Same
+    bin-survivorship approximation semantics as pallas_bin_topk
+    (a top-k element is lost only to a better element in its bin).
+    """
+    n, dim = corpus.shape
+    batch = q.shape[0]
+    steps = n // bins
+    tiles = corpus.reshape(steps, bins, dim)
+    col = lax.broadcasted_iota(jnp.int32, (batch, bins), 1)
+
+    def step(carry, inputs):
+        best, best_p = carry
+        tile, p = inputs
+        scores = _scores_tile(q, tile)
+        scores = jnp.where(p * bins + col < n_valid, scores, NEG_INF)
+        better = scores > best
+        best = jnp.where(better, scores, best)
+        best_p = jnp.where(better, p, best_p)
+        return (best, best_p), None
+
+    init = (
+        jnp.full((batch, bins), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((batch, bins), dtype=jnp.int32),
+    )
+    (vals, supertile), _ = lax.scan(
+        step, init, (tiles, jnp.arange(steps, dtype=jnp.int32))
+    )
+    if exact_epilogue:
+        top_scores, pos = lax.top_k(vals, k)
+    else:
+        top_scores, pos = lax.approx_max_k(vals, k, recall_target=recall_target)
+        pos = pos.astype(jnp.int32)
+    rows = jnp.take_along_axis(supertile, pos, axis=1) * bins + pos
+    return top_scores, rows.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _full_topk(q, corpus, n_valid, *, k: int):
     batch = q.shape[0]
@@ -204,15 +261,26 @@ def dense_topk(
             queries, corpus, n_valid, k=k, recall_target=recall_target
         )
     if method == "fused":
+        bins = 8192
+        while bins > corpus.shape[0] and bins > 1024:
+            bins //= 2
+        corpus, _ = pad_rows(corpus, bins)
+        if k > bins:  # tiny corpora: the full scan is exact and cheap
+            return _full_topk(queries, corpus, n_valid, k=k)
+        return _scan_bin_topk(
+            queries, corpus, n_valid, k=k, bins=bins,
+            recall_target=recall_target,
+        )
+    if method == "fused_pallas":
         from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
 
         tile_rows = 512
         corpus, _ = pad_rows(corpus, tile_rows)
-        bins = 8192
+        bins = 4096
         while bins > corpus.shape[0] and bins > 2 * tile_rows:
             bins //= 2
         bins = max(bins, tile_rows)
-        if k > bins:  # tiny corpora: the full scan is exact and cheap
+        if k > bins:
             return _full_topk(queries, corpus, n_valid, k=k)
         return pallas_bin_topk(
             queries,

@@ -146,14 +146,14 @@ def _bin_topk_kernel(tile_rows: int, bins: int):
     """
     supertile = bins // tile_rows
 
-    def kernel(n_valid_ref, q_ref, tile_ref, vals_ref, p_ref):
+    def kernel(n_valid_ref, q_ref, tile_ref, vals_out, p_out, vals_acc, p_acc):
         j = pl.program_id(0)
         batch = q_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
-            vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
-            p_ref[:] = jnp.zeros_like(p_ref)
+            vals_acc[:] = jnp.full_like(vals_acc, NEG_INF)
+            p_acc[:] = jnp.zeros_like(p_acc)
 
         precision = (
             lax.Precision.HIGHEST
@@ -172,11 +172,19 @@ def _bin_topk_kernel(tile_rows: int, bins: int):
         )
         scores = jnp.where(row < n_valid_ref[0], scores, NEG_INF)
 
+        # The carry lives in VMEM scratch (guaranteed resident across the
+        # sequential grid); outputs are written exactly once at the end, so
+        # HBM sees the corpus read plus one bins*B flush — nothing per step.
         sl = pl.ds((j % supertile) * tile_rows, tile_rows)
-        current = vals_ref[sl, :]
+        current = vals_acc[sl, :]
         better = scores > current
-        vals_ref[sl, :] = jnp.where(better, scores, current)
-        p_ref[sl, :] = jnp.where(better, j // supertile, p_ref[sl, :])
+        vals_acc[sl, :] = jnp.where(better, scores, current)
+        p_acc[sl, :] = jnp.where(better, j // supertile, p_acc[sl, :])
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _flush():
+            vals_out[:] = vals_acc[:]
+            p_out[:] = p_acc[:]
 
     return kernel
 
@@ -193,7 +201,7 @@ def pallas_bin_topk(
     n_valid: jnp.ndarray,
     *,
     k: int,
-    bins: int = 8192,
+    bins: int = 4096,
     tile_rows: int = 512,
     recall_target: float = 0.95,
     exact_epilogue: bool = False,
@@ -212,7 +220,9 @@ def pallas_bin_topk(
         corpus: [N, D] with N % tile_rows == 0 (ops.dense.pad_rows).
         n_valid: scalar int32 count of real rows.
         k: pool size (<= bins).
-        bins: candidate bins per query; VMEM carry is bins*B*8 bytes.
+        bins: candidate bins per query; VMEM cost is 2*bins*B*8 bytes
+            (scratch carry + output blocks), so 4096 is the practical
+            ceiling at B=128 on a 16MB-VMEM core.
         tile_rows: corpus rows per grid step (bins % tile_rows == 0).
         recall_target: epilogue approx_max_k target over the [B, bins] carry.
         exact_epilogue: use exact lax.top_k over the carry (parity tests).
@@ -244,6 +254,10 @@ def pallas_bin_topk(
             pl.BlockSpec(
                 (bins, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
             ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bins, batch), jnp.float32),
+            pltpu.VMEM((bins, batch), jnp.int32),
         ],
     )
     vals, supertiles = pl.pallas_call(

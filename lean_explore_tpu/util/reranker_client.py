@@ -87,7 +87,14 @@ class RerankerClient:
             f"<Document>: {document}"
         )
 
-    def _score_batch(self, pairs: list[str]) -> np.ndarray:
+    def _dispatch_batch(self, pairs: list[str]):
+        """Tokenize + enqueue one device batch WITHOUT fetching the result.
+
+        JAX dispatch is asynchronous: returning the device array (no host
+        fetch) lets the caller tokenize the next bucket while the MXU runs
+        this one — host tokenization hides entirely under device compute
+        (SURVEY §7 "serving efficiency"). Returns (device scores, n_valid).
+        """
         batch = encode_batch(self.tokenizer, pairs, max_length=self.max_length)
         scores = qwen3_mod.rerank_scores(
             self.params,
@@ -97,7 +104,11 @@ class RerankerClient:
             token_true=int(self.token_true_id),
             token_false=int(self.token_false_id),
         )
-        return np.asarray(scores)[: batch.n_valid]
+        return scores, batch.n_valid
+
+    def _score_batch(self, pairs: list[str]) -> np.ndarray:
+        scores, n_valid = self._dispatch_batch(pairs)
+        return np.asarray(scores)[:n_valid]
 
     def rerank_sync(
         self, query: str, documents: list[str], batch_size: int | None = None
@@ -107,11 +118,13 @@ class RerankerClient:
             return RerankerResponse(query=query, scores=[], model=self.model_name)
         step = batch_size or self.batch_size
         pairs = [self._format_pair(query, d) for d in documents]
+        pending = [
+            self._dispatch_batch(pairs[start : start + step])
+            for start in range(0, len(pairs), step)
+        ]
         all_scores: list[float] = []
-        for start in range(0, len(pairs), step):
-            all_scores.extend(
-                float(s) for s in self._score_batch(pairs[start : start + step])
-            )
+        for scores, n_valid in pending:
+            all_scores.extend(float(s) for s in np.asarray(scores)[:n_valid])
         return RerankerResponse(query=query, scores=all_scores, model=self.model_name)
 
     def rerank_pairs_sync(
@@ -125,6 +138,9 @@ class RerankerClient:
         order (character length tracks token length closely) so each device
         batch pads to its own bucket instead of the global maximum — short
         candidates stop paying for the longest informalization in the step.
+        All buckets are tokenized-and-dispatched before any result is
+        fetched, so tokenization of bucket i+1 overlaps device compute of
+        bucket i.
         """
         if len(queries) != len(documents):
             raise ValueError("queries and documents must align")
@@ -133,9 +149,15 @@ class RerankerClient:
         pairs = [self._format_pair(q, d) for q, d in zip(queries, documents)]
         order = sorted(range(len(pairs)), key=lambda i: len(pairs[i]))
         scores = [0.0] * len(pairs)
+        pending = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start : start + self.batch_size]
-            for i, s in zip(chunk, self._score_batch([pairs[i] for i in chunk])):
+            pending.append(
+                (chunk, self._dispatch_batch([pairs[i] for i in chunk]))
+            )
+        for chunk, (device_scores, n_valid) in pending:
+            host = np.asarray(device_scores)[:n_valid]
+            for i, s in zip(chunk, host):
                 scores[i] = float(s)
         return scores
 
