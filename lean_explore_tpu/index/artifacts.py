@@ -152,11 +152,17 @@ def _load_dense(directory: Path, dense_dtype: str, mesh):
                 f"Dense index artifact missing: {p}. Run 'lean-explore data "
                 "fetch' or the extraction pipeline first."
             )
+    from lean_explore_tpu.config import Config
+
     logger.info(
         "Loading dense index sharded over mesh %s", dict(mesh.shape)
     )
     return ShardedDenseIndex(
-        np.load(emb_path), np.load(ids_path), mesh, dtype=dense_dtype
+        np.load(emb_path),
+        np.load(ids_path),
+        mesh,
+        dtype=dense_dtype,
+        chunk=Config.TOPK_CHUNK,
     )
 
 

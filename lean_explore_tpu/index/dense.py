@@ -154,8 +154,15 @@ class DenseIndex:
                 exact=(method == "full"),
             )
         else:
+            from lean_explore_tpu.config import Config
+
             scores, rows = dense_topk(
-                q, self.embeddings, k, n_valid=self.n, method=method
+                q,
+                self.embeddings,
+                k,
+                n_valid=self.n,
+                method=method,
+                chunk=Config.TOPK_CHUNK,
             )
         rows = np.asarray(jax.device_get(rows))
         scores = np.asarray(jax.device_get(scores))
