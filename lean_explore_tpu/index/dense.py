@@ -24,6 +24,11 @@ from lean_explore_tpu.ops import dense_topk, l2_normalize
 EMBEDDINGS_FILE = "dense_embeddings.npy"
 IDS_FILE = "dense_ids.npy"
 
+# Device matrix rows are padded to this multiple ONCE at construction so the
+# retrieval kernels' alignment requirement never re-pads (= copies 600+ MB)
+# inside the serving hot loop. Pad rows are masked by n_valid at search time.
+ROW_ALIGN = 512
+
 
 class DenseIndex:
     """Exact inner-product index over normalized embeddings."""
@@ -49,11 +54,14 @@ class DenseIndex:
             raise ValueError("ids length must match embedding rows")
         if not normalized:
             embeddings = l2_normalize(embeddings)
+        self.n = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        padded = ((self.n + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
+        if padded != self.n:
+            embeddings = jnp.pad(embeddings, ((0, padded - self.n), (0, 0)))
         self.embeddings = embeddings
         self.scales = None  # set for int8-quantized indices
         self.ids = np.asarray(ids, dtype=np.int64)
-        self.n = int(embeddings.shape[0])
-        self.dim = int(embeddings.shape[1])
 
     @classmethod
     def build(
@@ -76,6 +84,9 @@ class DenseIndex:
 
             codes, scales = quantize_rows(mat)
             index = cls(jnp.asarray(codes), ids, normalized=True)
+            pad = index.embeddings.shape[0] - len(scales)
+            if pad:  # zero pad rows quantize to zero codes; scale value moot
+                scales = np.pad(scales, (0, pad), constant_values=1.0)
             index.scales = jnp.asarray(scales)
             return index
         device_mat = jnp.asarray(mat, dtype=jnp.dtype(dtype))
@@ -95,7 +106,7 @@ class DenseIndex:
             )[:, None]
         else:
             mat = np.asarray(self.embeddings, dtype=np.float32)
-        np.save(directory / EMBEDDINGS_FILE, mat)
+        np.save(directory / EMBEDDINGS_FILE, mat[: self.n])
         np.save(directory / IDS_FILE, self.ids)
 
     @classmethod
@@ -169,5 +180,5 @@ class DenseIndex:
         return scores, self.ids[rows]
 
     def row_embeddings(self) -> np.ndarray:
-        """Host copy of the matrix (float32)."""
-        return np.asarray(self.embeddings, dtype=np.float32)
+        """Host copy of the (unpadded) matrix, float32."""
+        return np.asarray(self.embeddings, dtype=np.float32)[: self.n]

@@ -192,11 +192,13 @@ class TestPallasBinTopK:
             bins=1024, tile_rows=256, exact_epilogue=True,
         )
         ref_scores, ref_idx = numpy_topk(queries, corpus, k)
-        assert_topk_matches(scores, idx, ref_scores, ref_idx)
+        # Scores carry the provenance-packing quantization (~1e-4 max here).
+        assert_topk_matches(scores, idx, ref_scores, ref_idx, atol=5e-4)
 
     def test_provenance_invariant(self):
         """Every returned (row, score) pair must be genuine — the score IS
-        the inner product of that corpus row, approximate or not."""
+        the inner product of that corpus row (up to the documented packing
+        quantization), approximate or not."""
         n, b, k = 2048, 4, 32
         corpus = random_unit_rows(n, 64, seed=1)
         queries = random_unit_rows(b, 64, seed=2)
@@ -207,7 +209,7 @@ class TestPallasBinTopK:
         assert idx.min() >= 0 and idx.max() < n
         for q in range(b):
             want = queries[q] @ corpus[idx[q]].T
-            np.testing.assert_allclose(scores[q], want, atol=1e-5)
+            np.testing.assert_allclose(scores[q], want, atol=5e-4)
         # descending order
         assert np.all(np.diff(scores, axis=1) <= 1e-6)
 
