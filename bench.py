@@ -173,7 +173,11 @@ def bench_fusion_pipeline() -> None:
             )
 
     engine = SearchEngine(
-        tmp, store=store, embedding_client=RandomEmbedder(), reranker_client=None
+        tmp,
+        store=store,
+        embedding_client=RandomEmbedder(),
+        reranker_client=None,
+        preload_metadata=os.environ.get("BENCH_PRELOAD", "1") == "1",
     )
     queries = [f"{words[i % 3000]} nat thing {i % 97}" for i in range(batch)]
 
@@ -369,6 +373,7 @@ def bench_full_pipeline() -> None:
         artifacts=artifacts,
         embedding_client=embedder,
         reranker_client=reranker,
+        preload_metadata=os.environ.get("BENCH_PRELOAD", "1") == "1",
     )
     log("artifacts ready; warming (compiles encode/dense/rerank programs) ...")
 

@@ -170,6 +170,13 @@ class Config:
     TOPK_CHUNK: int = int(os.getenv("LEAN_EXPLORE_TOPK_CHUNK", "8192"))
     """Corpus rows scored per chunk in the exact chunked top-k scan."""
 
+    PRELOAD_METADATA: bool = os.getenv("LEAN_EXPLORE_PRELOAD_METADATA", "") not in (
+        "", "0", "false",
+    )
+    """Load the whole declaration metadata table into memory at engine
+    startup (high-QPS serving: removes per-batch sqlite hydration and JSON
+    parsing from the fusion stage at the cost of startup time + RAM)."""
+
     # ------------------------------------------------------------------
     # Extraction
     # ------------------------------------------------------------------

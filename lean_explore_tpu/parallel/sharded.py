@@ -81,11 +81,43 @@ def make_sharded_topk(
             pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
         return s, row_offset + pos.astype(jnp.int32)
 
+    def _local_topk_fused(q, shard, row_offset, n_valid):
+        """Per-shard fused matmul+selection (ops/pallas_retrieval): the
+        single-chip serving default, run under shard_map — each device's
+        local n_valid is how many real rows its shard holds."""
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
+
+        rows = shard.shape[0]
+        local_k = min(k, rows)
+        local_valid = jnp.clip(n_valid - row_offset, 0, rows)
+        bins = 8192
+        while bins > rows and bins > 1024:
+            bins //= 2
+        s, pos = pallas_bin_topk(
+            q,
+            shard,
+            local_valid,
+            k=local_k,
+            bins=bins,
+            tile_rows=512,
+            recall_target=recall_target,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if local_k < k:
+            s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
+            pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
+        # Fully-padded shards (row_offset >= n_valid) produce packed zeros
+        # that unpack to -3.0; mask them so the merge can never pick them.
+        s = jnp.where(local_valid > 0, s, NEG_INF)
+        return s, row_offset + pos.astype(jnp.int32)
+
     def inner(q, corpus, n_valid):
         shard_rows = corpus.shape[0]  # rows per device inside shard_map
         shard_idx = lax.axis_index("corpus")
         row_offset = shard_idx * shard_rows
-        if method == "approx":
+        if method == "fused":
+            local_s, local_i = _local_topk_fused(q, corpus, row_offset, n_valid[0])
+        elif method == "approx":
             local_s, local_i = _local_topk_approx(q, corpus, row_offset, n_valid[0])
         else:
             local_s, local_i = _local_topk_chunked(
@@ -146,12 +178,20 @@ class ShardedDenseIndex:
         if method == "auto":
             # Same crossover as ops.dense.dense_topk, judged per shard: small
             # shards use the exact scan (cheap and bit-exact), large shards
-            # the TPU PartialReduce selection.
+            # the fused matmul+selection kernel (approx off-TPU).
             shard_rows = (self.n + n_corpus - 1) // n_corpus
-            method = "chunked" if shard_rows <= 16384 else "approx"
+            if shard_rows <= 16384:
+                method = "chunked"
+            elif jax.default_backend() == "tpu":
+                method = "fused"
+            else:
+                method = "approx"
         self.method = method
-        padded = ((self.n + n_corpus - 1) // n_corpus) * n_corpus
-        mat = np.zeros((max(padded, n_corpus), self.dim), dtype=np.float32)
+        # Shards split evenly over the corpus axis; the fused kernel further
+        # needs per-shard rows aligned to its 512-row tile.
+        align = n_corpus * (512 if method == "fused" else 1)
+        padded = ((self.n + align - 1) // align) * align
+        mat = np.zeros((max(padded, align), self.dim), dtype=np.float32)
         mat[: self.n] = np.asarray(embeddings, dtype=np.float32)
         norms = np.linalg.norm(mat[: self.n], axis=1, keepdims=True)
         mat[: self.n] /= np.maximum(norms, 1e-12)

@@ -77,3 +77,44 @@ class TestApproxSharded:
         scores, ids = index.search(random_unit_rows(2, 16, seed=23), k=40)
         ref_scores, _ = numpy_topk(random_unit_rows(2, 16, seed=23), corpus, 40)
         np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+
+
+class TestFusedLocalMethod:
+    """The per-shard fused kernel (single-chip serving default) under
+    shard_map, interpreter mode, vs the exact oracle."""
+
+    def test_fused_matches_oracle(self):
+        from tests.conftest import random_unit_rows
+
+        n, dim, k = 8 * 1024, 32, 50
+        corpus = random_unit_rows(n, dim, seed=0)
+        queries = random_unit_rows(8, dim, seed=1)
+        mesh = make_mesh((2, 4))
+        index = ShardedDenseIndex(
+            corpus, np.arange(n), mesh, method="fused"
+        )
+        assert index.embeddings.shape[0] % (4 * 512) == 0
+        scores, ids = index.search(queries, k=k)
+
+        exact = queries @ corpus.T
+        want_ids = np.argsort(-exact, axis=1)[:, :k]
+        # bins >= shard rows here -> per-shard selection is collision-free;
+        # packing quantizes scores by ~1e-4.
+        for b in range(8):
+            overlap = len(set(ids[b]) & set(want_ids[b])) / k
+            assert overlap >= 0.98, overlap
+        np.testing.assert_allclose(
+            scores, np.sort(exact, axis=1)[:, ::-1][:, :k], atol=5e-4
+        )
+
+    def test_fused_handles_uneven_padding(self):
+        from tests.conftest import random_unit_rows
+
+        n, dim, k = 3000, 32, 20  # pads to 4096 over (1,2) corpus axis
+        corpus = random_unit_rows(n, dim, seed=2)
+        queries = random_unit_rows(4, dim, seed=3)
+        mesh = make_mesh((1, 2))
+        index = ShardedDenseIndex(corpus, np.arange(n), mesh, method="fused")
+        scores, ids = index.search(queries, k=k)
+        assert ids.max() < n
+        assert np.all(np.isfinite(scores))
