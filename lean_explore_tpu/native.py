@@ -70,6 +70,19 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, ctypes.c_int64,
     ]
     lib.le_tokenize_spaced.restype = ctypes.c_int64
+    if hasattr(lib, "le_rrf_fuse"):  # lexcore >= 0.2
+        lib.le_rrf_fuse.argtypes = [
+            i64p, f64p, ctypes.c_int64,
+            i64p, f64p, ctypes.c_int64,
+            i64p, f64p,
+        ]
+        lib.le_rrf_fuse.restype = ctypes.c_int64
+        lib.le_dep_boost.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, ctypes.c_int64,
+            i64p, f64p,
+        ]
+        lib.le_dep_boost.restype = None
     lib.le_version.restype = ctypes.c_char_p
 
 
@@ -150,6 +163,66 @@ def tokenize_spaced_native(text: str) -> list[str] | None:
         end = buf.index(b"\0", start)
         tokens.append(buf[start:end].decode("ascii"))
     return tokens
+
+
+def rrf_fuse_native(
+    bm25_ids: np.ndarray,
+    bm25_scores: np.ndarray,
+    sem_ids: np.ndarray,
+    sem_scores: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native RRF fusion (engine arithmetic); None when unavailable."""
+    lib = load_lexcore()
+    if lib is None or not hasattr(lib, "le_rrf_fuse"):
+        return None
+    bm25_ids = np.ascontiguousarray(bm25_ids, dtype=np.int64)
+    bm25_scores = np.ascontiguousarray(bm25_scores, dtype=np.float64)
+    sem_ids = np.ascontiguousarray(sem_ids, dtype=np.int64)
+    sem_scores = np.ascontiguousarray(sem_scores, dtype=np.float64)
+    capacity = len(bm25_ids) + len(sem_ids)
+    out_ids = np.zeros(capacity, dtype=np.int64)
+    out_scores = np.zeros(capacity, dtype=np.float64)
+    total = lib.le_rrf_fuse(
+        _ptr(bm25_ids, ctypes.c_int64),
+        _ptr(bm25_scores, ctypes.c_double),
+        ctypes.c_int64(len(bm25_ids)),
+        _ptr(sem_ids, ctypes.c_int64),
+        _ptr(sem_scores, ctypes.c_double),
+        ctypes.c_int64(len(sem_ids)),
+        _ptr(out_ids, ctypes.c_int64),
+        _ptr(out_scores, ctypes.c_double),
+    )
+    return out_ids[:total], out_scores[:total]
+
+
+def dep_boost_native(
+    top_ids: np.ndarray,
+    dep_indptr: np.ndarray,
+    dep_targets: np.ndarray,
+    top_n: int = 500,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native dependency boost over a global id-indexed dependency CSR;
+    None when unavailable."""
+    lib = load_lexcore()
+    if lib is None or not hasattr(lib, "le_dep_boost"):
+        return None
+    top_ids = np.ascontiguousarray(top_ids, dtype=np.int64)
+    dep_indptr = np.ascontiguousarray(dep_indptr, dtype=np.int64)
+    dep_targets = np.ascontiguousarray(dep_targets, dtype=np.int64)
+    n = len(top_ids)
+    out_ids = np.zeros(n, dtype=np.int64)
+    out_scores = np.zeros(n, dtype=np.float64)
+    lib.le_dep_boost(
+        _ptr(top_ids, ctypes.c_int64),
+        ctypes.c_int64(n),
+        ctypes.c_int64(top_n),
+        _ptr(dep_indptr, ctypes.c_int64),
+        _ptr(dep_targets, ctypes.c_int64),
+        ctypes.c_int64(len(dep_indptr) - 2),
+        _ptr(out_ids, ctypes.c_int64),
+        _ptr(out_scores, ctypes.c_double),
+    )
+    return out_ids, out_scores
 
 
 def topk_native(

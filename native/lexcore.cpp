@@ -129,6 +129,136 @@ int64_t le_tokenize_spaced(const char* text, int64_t len, char* out,
   return n_tokens;
 }
 
-const char* le_version() { return "lexcore 0.1.0"; }
+// Reciprocal-rank fusion of two candidate lists for one query
+// (engine semantics, reference search/engine.py:263-300):
+//
+//   rank each signal's candidates by score descending (ties keep input
+//   order — the engine feeds dict-insertion order); absent signal =>
+//   rank = len(signal)+1; fused = 1/bm25_rank + 1/sem_rank; output sorted
+//   by fused score descending, ties keeping candidate order (bm25 list
+//   order, then unseen semantic candidates).
+//
+// out_ids/out_scores must hold nb+ns entries. Returns the fused count
+// (deduplicated union size).
+int64_t le_rrf_fuse(const int64_t* bm25_ids, const double* bm25_scores,
+                    int64_t nb, const int64_t* sem_ids,
+                    const double* sem_scores, int64_t ns, int64_t* out_ids,
+                    double* out_scores) {
+  auto ranks_of = [](const double* scores, int64_t n) {
+    std::vector<int64_t> order(n);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [scores](int64_t a, int64_t b) {
+                       return scores[a] > scores[b];
+                     });
+    std::vector<int64_t> rank(n);
+    for (int64_t r = 0; r < n; ++r) rank[order[r]] = r + 1;
+    return rank;
+  };
+  const std::vector<int64_t> bm25_rank = ranks_of(bm25_scores, nb);
+  const std::vector<int64_t> sem_rank = ranks_of(sem_scores, ns);
+
+  // Candidate union in first-seen order: bm25 list, then new semantic ids.
+  // Arithmetic matches the Python engine exactly: one sum of two
+  // reciprocals per candidate (no incremental updates that would drift a
+  // ulp and reorder ties differently from the fallback path).
+  std::vector<int64_t> ids;
+  std::vector<double> fused;
+  ids.reserve(nb + ns);
+  fused.reserve(nb + ns);
+  std::vector<std::pair<int64_t, int64_t>> sem_pos(ns);  // (id, sem index)
+  for (int64_t i = 0; i < ns; ++i) sem_pos[i] = {sem_ids[i], i};
+  std::sort(sem_pos.begin(), sem_pos.end());
+  std::vector<char> sem_used(ns, 0);
+  const double default_bm25 = 1.0 / static_cast<double>(nb + 1);
+  const double default_sem = 1.0 / static_cast<double>(ns + 1);
+  for (int64_t i = 0; i < nb; ++i) {
+    const int64_t id = bm25_ids[i];
+    double sem_part = default_sem;
+    auto it = std::lower_bound(sem_pos.begin(), sem_pos.end(),
+                               std::make_pair(id, static_cast<int64_t>(-1)));
+    if (it != sem_pos.end() && it->first == id) {
+      sem_part = 1.0 / static_cast<double>(sem_rank[it->second]);
+      sem_used[it->second] = 1;
+    }
+    ids.push_back(id);
+    fused.push_back(1.0 / static_cast<double>(bm25_rank[i]) + sem_part);
+  }
+  for (int64_t i = 0; i < ns; ++i) {
+    if (sem_used[i]) continue;
+    ids.push_back(sem_ids[i]);
+    fused.push_back(default_bm25 + 1.0 / static_cast<double>(sem_rank[i]));
+  }
+  const int64_t total = static_cast<int64_t>(ids.size());
+  std::vector<int64_t> order(total);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&fused](int64_t a, int64_t b) {
+    return fused[a] > fused[b];
+  });
+  for (int64_t i = 0; i < total; ++i) {
+    out_ids[i] = ids[order[i]];
+    out_scores[i] = fused[order[i]];
+  }
+  return total;
+}
+
+// Dependency boost over the RRF top-n (engine semantics, reference
+// engine.py:302-358): count, for each candidate, how many of the top-n
+// candidates list it as a dependency; dep_rank = (max_count - count) + 1
+// for counted candidates else max_count+1 (or n+1 when nothing is
+// counted); boosted = 1/rrf_rank + 1/dep_rank, output sorted descending
+// (stable in rrf order).
+//
+//   top_ids      [n]      candidate declaration ids in RRF order
+//   top_n                 the boost-window parameter (default dep_rank is
+//                         top_n+1 even when fewer candidates exist —
+//                         reference engine.py:352)
+//   dep_indptr   [max_id+2] global CSR offsets indexed BY DECLARATION ID
+//   dep_targets  [nnz]    dependency target declaration ids
+//   max_id                largest indexable id (ids above are dep-free)
+void le_dep_boost(const int64_t* top_ids, int64_t n, int64_t top_n,
+                  const int64_t* dep_indptr, const int64_t* dep_targets,
+                  int64_t max_id, int64_t* out_ids, double* out_scores) {
+  std::vector<std::pair<int64_t, int64_t>> pos(n);  // (id, index)
+  for (int64_t i = 0; i < n; ++i) pos[i] = {top_ids[i], i};
+  std::sort(pos.begin(), pos.end());
+  std::vector<int64_t> counts(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t id = top_ids[i];
+    if (id < 0 || id > max_id) continue;
+    for (int64_t p = dep_indptr[id]; p < dep_indptr[id + 1]; ++p) {
+      const int64_t target = dep_targets[p];
+      auto it = std::lower_bound(
+          pos.begin(), pos.end(),
+          std::make_pair(target, static_cast<int64_t>(-1)));
+      if (it != pos.end() && it->first == target) counts[it->second] += 1;
+    }
+  }
+  int64_t max_count = 0;
+  for (int64_t i = 0; i < n; ++i) max_count = std::max(max_count, counts[i]);
+  std::vector<double> boosted(n);
+  for (int64_t i = 0; i < n; ++i) {
+    double dep_rank;
+    if (max_count > 0 && counts[i] > 0) {
+      dep_rank = static_cast<double>(max_count - counts[i] + 1);
+    } else {
+      dep_rank =
+          static_cast<double>(max_count > 0 ? max_count + 1 : top_n + 1);
+    }
+    boosted[i] = 1.0 / static_cast<double>(i + 1) + 1.0 / dep_rank;
+  }
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [&boosted](int64_t a, int64_t b) {
+                     return boosted[a] > boosted[b];
+                   });
+  for (int64_t i = 0; i < n; ++i) {
+    out_ids[i] = top_ids[order[i]];
+    out_scores[i] = boosted[order[i]];
+  }
+}
+
+const char* le_version() { return "lexcore 0.2.0"; }
 
 }  // extern "C"

@@ -442,3 +442,23 @@ class TestLargePoolSetParity:
         want = _run(reference_engine.search(query, limit=10, rerank_top=8))
         got = _run(our_engine.search(query, limit=10, rerank_top=8))
         assert got[0].id == want[0].id
+
+
+class TestGetByIdNameParity:
+    def test_get_by_id(self, reference_engine, our_engine):
+        want = _run(reference_engine.get_by_id(3))
+        got = _run(our_engine.get_by_id(3))
+        assert got.model_dump() == want.model_dump()
+
+    def test_get_by_id_missing(self, reference_engine, our_engine):
+        assert _run(reference_engine.get_by_id(10**9)) is None
+        assert _run(our_engine.get_by_id(10**9)) is None
+
+    def test_get_by_name(self, reference_engine, our_engine):
+        want = _run(reference_engine.get_by_name("Nat.add_comm"))
+        got = _run(our_engine.get_by_name("Nat.add_comm"))
+        assert got.model_dump() == want.model_dump()
+
+    def test_get_by_name_missing(self, reference_engine, our_engine):
+        assert _run(reference_engine.get_by_name("No.Such.Decl")) is None
+        assert _run(our_engine.get_by_name("No.Such.Decl")) is None

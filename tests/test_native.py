@@ -109,3 +109,79 @@ class TestFallbackWithoutLibrary:
         index = Bm25Index.build([["a"], ["b"]])
         idx, _ = index.retrieve(["a"], 2)
         assert list(idx)[0] == 0
+
+
+class TestNativeFusion:
+    """le_rrf_fuse / le_dep_boost vs the engine's Python implementations:
+    identical ids, order, and float64 scores (same arithmetic by design)."""
+
+    def test_rrf_randomized_parity(self):
+        import numpy as np
+
+        from lean_explore_tpu.native import rrf_fuse_native
+        from lean_explore_tpu.search.engine import SearchEngine
+
+        if rrf_fuse_native(
+            np.array([1]), np.array([1.0]), np.array([2]), np.array([0.5])
+        ) is None:
+            pytest.skip("lexcore >= 0.2 not built")
+        rng = __import__("random").Random(0)
+        for trial in range(200):
+            nb, ns = rng.randint(0, 40), rng.randint(0, 40)
+            pool = list(range(1, 60))
+            rng.shuffle(pool)
+            bm25 = {pool[i]: rng.choice([0.0, 1.5, 3.25, 7.0]) for i in range(nb)}
+            rng.shuffle(pool)
+            sem = {pool[i]: rng.choice([0.1, 0.5, 0.9]) for i in range(ns)}
+            want = SearchEngine._compute_rrf_scores(bm25, sem)
+            got = SearchEngine._rrf_scores_any(bm25, sem)
+            assert [i for i, _ in got] == [i for i, _ in want], trial
+            assert [s for _, s in got] == [s for _, s in want], trial
+
+    def test_dep_boost_randomized_parity(self):
+        import json
+        import random
+
+        import numpy as np
+
+        from lean_explore_tpu.models import Declaration
+        from lean_explore_tpu.native import dep_boost_native
+        from lean_explore_tpu.search.engine import SearchEngine
+
+        if dep_boost_native(
+            np.array([1]), np.array([0, 0, 0]), np.array([], dtype=np.int64)
+        ) is None:
+            pytest.skip("lexcore >= 0.2 not built")
+        rng = random.Random(1)
+        n_decls = 50
+        names = [f"D.n{i}" for i in range(1, n_decls + 1)]
+        deps_by_id = {
+            i: rng.sample(names, rng.randint(0, 4)) for i in range(1, n_decls + 1)
+        }
+        declarations = {
+            i: Declaration(
+                id=i, name=names[i - 1], module="D.M", source_text="s",
+                source_link="l", dependencies=json.dumps(deps_by_id[i]),
+            )
+            for i in range(1, n_decls + 1)
+        }
+        name_to_id = {names[i - 1]: i for i in range(1, n_decls + 1)}
+        indptr = np.zeros(n_decls + 2, dtype=np.int64)
+        targets = []
+        for i in range(1, n_decls + 1):
+            targets.extend(name_to_id[d] for d in deps_by_id[i])
+            indptr[i + 1] = len(targets)
+        targets = np.asarray(targets, dtype=np.int64)
+
+        for trial in range(100):
+            ids = rng.sample(range(1, n_decls + 1), rng.randint(1, n_decls))
+            rrf = [(cid, 1.0 / (r + 1)) for r, cid in enumerate(ids)]
+            dep_names = {i: deps_by_id[i] for i in ids}
+            want = SearchEngine._dependency_boost(
+                rrf, declarations, dep_names, top_n=500
+            )
+            got_ids, got_scores = dep_boost_native(
+                np.asarray(ids, dtype=np.int64), indptr, targets
+            )
+            assert got_ids.tolist() == [i for i, _ in want], trial
+            assert got_scores.tolist() == [s for _, s in want], trial
