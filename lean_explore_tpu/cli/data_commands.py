@@ -124,6 +124,55 @@ def fetch(version):
 
 
 @data_group.command()
+@click.argument("source", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--output",
+    "-o",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Artifact output directory (default: the active cache version dir).",
+)
+@click.option(
+    "--version",
+    "-v",
+    default="converted",
+    help="Version label to install the converted artifacts under.",
+)
+def convert(source, output, version):
+    """Convert a REFERENCE data set into this framework's artifacts.
+
+    SOURCE is a lean_explore.db produced by the reference (or a directory
+    containing one — e.g. ~/.lean_explore/cache/<version>/). The reference's
+    sqlite schema and embedding blob format are byte-compatible with this
+    framework's store, so conversion copies the database and rebuilds the
+    dense + BM25 artifacts from it; the FAISS/bm25s files are not needed
+    (embeddings live in the db, reference models/search_db.py:44-76).
+    """
+    from lean_explore_tpu.index import build_index_artifacts
+    from lean_explore_tpu.models import DeclarationStore
+
+    console = Console()
+    db_path = source / "lean_explore.db" if source.is_dir() else source
+    if not db_path.exists():
+        raise click.ClickException(f"No lean_explore.db found under {source}")
+    destination = output or (Config.CACHE_DIRECTORY / version)
+    destination.mkdir(parents=True, exist_ok=True)
+    console.print(f"Converting [bold]{db_path}[/bold] -> {destination}")
+    shutil.copyfile(db_path, destination / "declarations.db")
+    store = DeclarationStore(destination / "declarations.db")
+    try:
+        manifest = build_index_artifacts(store, destination)
+    finally:
+        store.close()
+    if output is None:
+        write_active_version(version)
+    console.print(
+        f"[green]Converted {manifest['n_declarations']} declarations "
+        f"({manifest['n_embedded']} embedded) into {destination}[/green]"
+    )
+
+
+@data_group.command()
 @click.confirmation_option(prompt="Delete all cached data?")
 def clean():
     """Remove all downloaded index-artifact versions."""

@@ -400,3 +400,32 @@ def rerank_scores(
         [logits[:, token_false], logits[:, token_true]], axis=1
     )
     return jax.nn.softmax(pair, axis=1)[:, 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "token_true", "token_false")
+)
+def rerank_scores_chained(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    *,
+    token_true: int,
+    token_false: int,
+) -> jnp.ndarray:
+    """rerank_scores over stacked same-shape buckets: [G, B, T] -> [G, B].
+
+    One device dispatch scores G batches via lax.scan of the forward —
+    on RPC-fronted deployments (and the axon relay) the fixed per-dispatch
+    latency otherwise dominates multi-bucket rerank calls."""
+
+    def one(_, xm):
+        ids, mask = xm
+        return None, rerank_scores(
+            params, config, ids, mask,
+            token_true=token_true, token_false=token_false,
+        )
+
+    _, scores = jax.lax.scan(one, None, (input_ids, attention_mask))
+    return scores

@@ -110,6 +110,58 @@ class RerankerClient:
         scores, n_valid = self._dispatch_batch(pairs)
         return np.asarray(scores)[:n_valid]
 
+    def _score_encoded(self, encoded: list) -> list[np.ndarray]:
+        """Score many padded buckets with minimal device dispatches.
+
+        Buckets sharing a padded (B, T) shape — the common case, thanks to
+        the tokenizer's shape bucketing — are stacked and scored by ONE
+        chained program (rerank_scores_chained), so a 50-bucket rerank pays
+        a handful of dispatches instead of 50 round-trips. Group sizes pad
+        to powers of two to bound the compile set. Returns one [B_pad]
+        score array per input bucket.
+        """
+        chain = 8  # buckets per chained dispatch; fixed so compiles stay bounded
+        groups: dict[tuple, list[int]] = {}
+        for idx, batch in enumerate(encoded):
+            groups.setdefault(batch.input_ids.shape, []).append(idx)
+
+        results: list[np.ndarray | None] = [None] * len(encoded)
+        fetches = []
+        for indices in groups.values():
+            full = len(indices) // chain * chain
+            for base in range(0, full, chain):
+                members = indices[base : base + chain]
+                ids = np.stack([encoded[i].input_ids for i in members])
+                mask = np.stack([encoded[i].attention_mask for i in members])
+                scores = qwen3_mod.rerank_scores_chained(
+                    self.params,
+                    self.config,
+                    jnp.asarray(ids),
+                    jnp.asarray(mask),
+                    token_true=int(self.token_true_id),
+                    token_false=int(self.token_false_id),
+                )
+                fetches.append((members, scores))
+            for idx in indices[full:]:
+                batch = encoded[idx]
+                scores = qwen3_mod.rerank_scores(
+                    self.params,
+                    self.config,
+                    jnp.asarray(batch.input_ids),
+                    jnp.asarray(batch.attention_mask),
+                    token_true=int(self.token_true_id),
+                    token_false=int(self.token_false_id),
+                )
+                fetches.append(([idx], scores))
+        for members, scores in fetches:
+            host = np.asarray(scores)
+            if len(members) == 1:
+                results[members[0]] = host
+            else:
+                for position, idx in enumerate(members):
+                    results[idx] = host[position]
+        return results
+
     def rerank_sync(
         self, query: str, documents: list[str], batch_size: int | None = None
     ) -> RerankerResponse:
@@ -118,13 +170,17 @@ class RerankerClient:
             return RerankerResponse(query=query, scores=[], model=self.model_name)
         step = batch_size or self.batch_size
         pairs = [self._format_pair(query, d) for d in documents]
-        pending = [
-            self._dispatch_batch(pairs[start : start + step])
+        encoded = [
+            encode_batch(
+                self.tokenizer,
+                pairs[start : start + step],
+                max_length=self.max_length,
+            )
             for start in range(0, len(pairs), step)
         ]
         all_scores: list[float] = []
-        for scores, n_valid in pending:
-            all_scores.extend(float(s) for s in np.asarray(scores)[:n_valid])
+        for batch, scores in zip(encoded, self._score_encoded(encoded)):
+            all_scores.extend(float(s) for s in scores[: batch.n_valid])
         return RerankerResponse(query=query, scores=all_scores, model=self.model_name)
 
     def rerank_pairs_sync(
@@ -149,15 +205,20 @@ class RerankerClient:
         pairs = [self._format_pair(q, d) for q, d in zip(queries, documents)]
         order = sorted(range(len(pairs)), key=lambda i: len(pairs[i]))
         scores = [0.0] * len(pairs)
-        pending = []
-        for start in range(0, len(order), self.batch_size):
-            chunk = order[start : start + self.batch_size]
-            pending.append(
-                (chunk, self._dispatch_batch([pairs[i] for i in chunk]))
+        chunks = [
+            order[start : start + self.batch_size]
+            for start in range(0, len(order), self.batch_size)
+        ]
+        encoded = [
+            encode_batch(
+                self.tokenizer,
+                [pairs[i] for i in chunk],
+                max_length=self.max_length,
             )
-        for chunk, (device_scores, n_valid) in pending:
-            host = np.asarray(device_scores)[:n_valid]
-            for i, s in zip(chunk, host):
+            for chunk in chunks
+        ]
+        for chunk, bucket_scores in zip(chunks, self._score_encoded(encoded)):
+            for i, s in zip(chunk, bucket_scores):
                 scores[i] = float(s)
         return scores
 

@@ -194,3 +194,109 @@ class TestDataCommands:
         result = CliRunner().invoke(data_group, ["clean"], input="y\n")
         assert result.exit_code == 0
         assert "No local data" in result.output
+
+
+class TestDataConvert:
+    """`lean-explore data convert`: a REFERENCE-format lean_explore.db
+    (built here with raw SQL + struct-packed float32 blobs, exactly the
+    reference's BinaryEmbedding encoding, search_db.py:24-35) becomes a
+    servable artifact set."""
+
+    def _make_reference_db(self, path):
+        import sqlite3
+        import struct
+
+        conn = sqlite3.connect(str(path))
+        conn.executescript(
+            """
+            CREATE TABLE declarations (
+                id INTEGER NOT NULL PRIMARY KEY,
+                name TEXT NOT NULL UNIQUE,
+                module TEXT NOT NULL,
+                docstring TEXT,
+                source_text TEXT NOT NULL,
+                source_link TEXT NOT NULL,
+                dependencies TEXT,
+                informalization TEXT,
+                informalization_embedding BLOB
+            );
+            """
+        )
+        rng = __import__("numpy").random.default_rng(0)
+        for i in range(1, 13):
+            vec = rng.standard_normal(16).astype("float32")
+            vec /= (vec**2).sum() ** 0.5
+            blob = struct.pack(f"{len(vec)}f", *vec)
+            conn.execute(
+                "INSERT INTO declarations VALUES (?,?,?,?,?,?,?,?,?)",
+                (
+                    i,
+                    f"Ref.decl{i}",
+                    f"Ref.Mod{i % 3}",
+                    f"doc {i}",
+                    f"def decl{i} := {i}",
+                    f"https://x/{i}",
+                    json.dumps([f"Ref.decl{(i % 12) + 1}"]),
+                    f"**Decl {i}.** reference declaration {i}",
+                    blob if i <= 10 else None,
+                ),
+            )
+        conn.commit()
+        conn.close()
+
+    def test_convert_and_serve(self, tmp_path):
+        import asyncio
+
+        import numpy as np
+
+        from lean_explore_tpu.index import load_index_artifacts
+        from lean_explore_tpu.models import DeclarationStore
+        from lean_explore_tpu.search.engine import SearchEngine
+        from lean_explore_tpu.util.embedding_client import EmbeddingResponse
+
+        ref_dir = tmp_path / "refdata"
+        ref_dir.mkdir()
+        self._make_reference_db(ref_dir / "lean_explore.db")
+        out = tmp_path / "converted"
+
+        result = CliRunner().invoke(
+            cli, ["data", "convert", str(ref_dir), "--output", str(out)]
+        )
+        assert result.exit_code == 0, result.output
+        assert "Converted 12 declarations (10 embedded)" in result.output
+
+        class Embedder:
+            async def embed(self, texts, is_query=False):
+                rng = np.random.default_rng(1)
+                v = rng.standard_normal((len(texts), 16)).astype(np.float32)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                return EmbeddingResponse(
+                    texts=list(texts), embeddings=v.tolist(), model="t"
+                )
+
+        engine = SearchEngine(
+            out,
+            store=DeclarationStore(out / "declarations.db"),
+            artifacts=load_index_artifacts(out, mesh=False),
+            embedding_client=Embedder(),
+        )
+        results = asyncio.run(
+            engine.search("reference declaration 7", rerank_top=0, limit=5)
+        )
+        assert results and results[0].name.startswith("Ref.decl")
+
+    def test_convert_direct_db_path(self, tmp_path):
+        db = tmp_path / "lean_explore.db"
+        self._make_reference_db(db)
+        out = tmp_path / "arts"
+        result = CliRunner().invoke(
+            cli, ["data", "convert", str(db), "--output", str(out)]
+        )
+        assert result.exit_code == 0, result.output
+        assert (out / "manifest.json").exists()
+
+    def test_convert_missing_db_fails(self, tmp_path):
+        empty = tmp_path / "nothing"
+        empty.mkdir()
+        result = CliRunner().invoke(cli, ["data", "convert", str(empty)])
+        assert result.exit_code != 0
