@@ -205,7 +205,7 @@ class ShardedDenseIndex:
     def search(self, query_embeddings, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k across all shards; returns (scores, declaration ids)."""
         k = min(k, self.n)
-        q = l2_normalize(jnp.asarray(np.asarray(query_embeddings), jnp.float32))
+        q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
         n_data = self.mesh.shape["data"]
         batch = q.shape[0]
         padded_batch = ((batch + n_data - 1) // n_data) * n_data

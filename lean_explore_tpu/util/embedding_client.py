@@ -142,14 +142,21 @@ class EmbeddingClient:
     def dim(self) -> int:
         return self.config.hidden_size
 
-    def embed_sync(self, texts: list[str], is_query: bool = False) -> np.ndarray:
-        """Embed texts -> float32 [len(texts), H], L2-normalized."""
+    def embed_device(self, texts: list[str], is_query: bool = False):
+        """Embed texts -> L2-normalized device array [len(texts), H].
+
+        The device-native entry point: callers that feed the result straight
+        into on-device retrieval (SearchEngine's dense stage) avoid the
+        device->host->device round trip of the wire-format ``embed``.
+        """
+        import jax.numpy as jnp_mod
+
         if not texts:
-            return np.zeros((0, self.config.hidden_size), dtype=np.float32)
+            return jnp_mod.zeros((0, self.config.hidden_size), jnp_mod.float32)
         prompted = (
             [self.query_prompt + t for t in texts] if is_query else list(texts)
         )
-        out: list[np.ndarray] = []
+        out = []
         for start in range(0, len(prompted), self.batch_size):
             chunk = prompted[start : start + self.batch_size]
             batch = encode_batch(
@@ -162,8 +169,12 @@ class EmbeddingClient:
                 np.asarray(batch.input_ids), np.asarray(batch.attention_mask)
             )
             emb = qwen3_mod.embed_pool(self.params, self.config, ids, mask)
-            out.append(np.asarray(emb)[: batch.n_valid])
-        return np.concatenate(out, axis=0)
+            out.append(emb[: batch.n_valid])
+        return out[0] if len(out) == 1 else jnp_mod.concatenate(out, axis=0)
+
+    def embed_sync(self, texts: list[str], is_query: bool = False) -> np.ndarray:
+        """Embed texts -> float32 [len(texts), H], L2-normalized."""
+        return np.asarray(self.embed_device(texts, is_query))
 
     async def embed(
         self, texts: list[str], is_query: bool = False
