@@ -125,9 +125,18 @@ def make_sharded_topk(
             )
         # Merge across the corpus axis: gather every shard's candidates and
         # re-select. Each candidate set is [B, k]; gathered [B, n_shards*k].
+        # Exact local methods keep the exact merge; approximate local
+        # selections pair with the cheap PartialReduce merge (lax.top_k over
+        # n_shards*k columns would otherwise dominate at high shard counts).
         all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
         all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
-        best_s, pos = lax.top_k(all_s, k)
+        if method == "chunked":
+            best_s, pos = lax.top_k(all_s, k)
+        else:
+            best_s, pos = lax.approx_max_k(
+                all_s, k, recall_target=recall_target
+            )
+            pos = pos.astype(jnp.int32)
         best_i = jnp.take_along_axis(all_i, pos, axis=1)
         return best_s, best_i
 
