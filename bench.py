@@ -528,6 +528,15 @@ def main() -> None:
 
     def search_fn(q, corpus_arg, kk):
         if corpus_scales is not None:
+            if method == "fused_pallas":
+                from lean_explore_tpu.ops.pallas_retrieval import (
+                    pallas_bin_topk_int8,
+                )
+
+                return pallas_bin_topk_int8(
+                    q, corpus_arg, corpus_scales, jnp.asarray(n, jnp.int32),
+                    k=kk,
+                )
             from lean_explore_tpu.ops.quant import quantized_topk
 
             return quantized_topk(

@@ -154,6 +154,32 @@ class DenseIndex:
         q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
         k = min(k, self.n)
         if self.scales is not None:
+            rows_padded = self.embeddings.shape[0]
+            use_fused = (
+                method in ("auto", "fused_pallas")
+                and jax.default_backend() == "tpu"
+                and rows_padded > 16384
+            )
+            if use_fused:
+                from lean_explore_tpu.ops.pallas_retrieval import (
+                    pallas_bin_topk_int8,
+                )
+
+                bins = 8192
+                while bins > rows_padded and bins > 1024:
+                    bins //= 2
+                if k <= bins:
+                    scores, rows = pallas_bin_topk_int8(
+                        q,
+                        self.embeddings,
+                        self.scales,
+                        jnp.asarray(self.n, dtype=jnp.int32),
+                        k=k,
+                        bins=bins,
+                    )
+                    rows = np.asarray(jax.device_get(rows))
+                    scores = np.asarray(jax.device_get(scores))
+                    return scores, self.ids[rows]
             from lean_explore_tpu.ops.quant import quantized_topk
 
             scores, rows = quantized_topk(

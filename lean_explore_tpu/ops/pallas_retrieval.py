@@ -196,6 +196,153 @@ def _bin_topk_kernel(tile_rows: int, bins: int, steal_bits: int):
     return kernel
 
 
+def _bin_topk_kernel_int8(tile_rows: int, bins: int, steal_bits: int):
+    """Int8 variant of _bin_topk_kernel: the matmul runs on the MXU's int8
+    path with int32 accumulation (half bfloat16's HBM traffic), scores are
+    calibrated in-kernel (per-row corpus scale x per-query scale) back to
+    true inner products, then shifted/packed exactly like the f32 kernel.
+    """
+    supertile = bins // tile_rows
+    low_mask = (1 << steal_bits) - 1
+
+    def kernel(
+        n_valid_ref, q_scales_ref, q_ref, tile_ref, scales_ref,
+        packed_out, packed_acc,
+    ):
+        j = pl.program_id(0)
+        batch = q_ref.shape[0]
+
+        @pl.when(j == 0)
+        def _init():
+            packed_acc[:] = jnp.zeros_like(packed_acc)
+
+        raw = lax.dot_general(
+            tile_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            raw.astype(jnp.float32)
+            * scales_ref[:]  # [tile_rows, 1] corpus row scales
+            * q_scales_ref[:]  # [1, batch] query scales
+        )
+        row = j * tile_rows + lax.broadcasted_iota(
+            jnp.int32, (tile_rows, batch), 0
+        )
+        shifted = jnp.where(row < n_valid_ref[0], scores + _PACK_SHIFT, 0.0)
+        bits = lax.bitcast_convert_type(shifted, jnp.int32)
+        packed = lax.bitcast_convert_type(
+            (bits & ~low_mask) | (j // supertile), jnp.float32
+        )
+        sl = pl.ds((j % supertile) * tile_rows, tile_rows)
+        packed_acc[sl, :] = jnp.maximum(packed_acc[sl, :], packed)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _flush():
+            packed_out[:] = packed_acc[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "bins", "tile_rows", "recall_target", "exact_epilogue", "interpret"
+    ),
+)
+def pallas_bin_topk_int8(
+    queries: jnp.ndarray,
+    corpus_codes: jnp.ndarray,
+    corpus_scales: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    k: int,
+    bins: int = 8192,
+    tile_rows: int = 512,
+    recall_target: float = 0.95,
+    exact_epilogue: bool = False,
+    interpret: bool = False,
+):
+    """Fused-selection top-k over an int8-quantized corpus (ops/quant.py
+    row quantization). Same contract and approximation semantics as
+    pallas_bin_topk; scores are calibrated inner products.
+    """
+    from lean_explore_tpu.ops.quant import _quantize_rows_device
+
+    n, dim = corpus_codes.shape
+    batch = queries.shape[0]
+    if n % tile_rows != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
+    if bins % tile_rows != 0:
+        raise ValueError(f"bins {bins} not a multiple of tile_rows {tile_rows}")
+    if k > bins:
+        raise ValueError(f"k={k} exceeds bins={bins}")
+    num_tiles = n // tile_rows
+    steal_bits = max(int(max(n // bins, 1) - 1).bit_length(), 1)
+
+    q_codes, q_scales = _quantize_rows_device(queries.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, dim), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, dim), lambda j, *_: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows, 1), lambda j, *_: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (bins, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bins, batch), jnp.float32),
+        ],
+    )
+    packed = pl.pallas_call(
+        _bin_topk_kernel_int8(tile_rows, bins, steal_bits),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bins, batch), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * batch * dim,
+            bytes_accessed=n * dim + bins * batch * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(n_valid, dtype=jnp.int32).reshape(1),
+        q_scales.reshape(1, batch),
+        q_codes,
+        corpus_codes,
+        corpus_scales.astype(jnp.float32).reshape(n, 1),
+    )[0]
+
+    packed_t = packed.T
+    if exact_epilogue:
+        top_packed, bin_pos = lax.top_k(packed_t, k)
+    else:
+        top_packed, bin_pos = lax.approx_max_k(
+            packed_t, k, recall_target=recall_target
+        )
+        bin_pos = bin_pos.astype(jnp.int32)
+    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
+    low_mask = (1 << steal_bits) - 1
+    winner_supertile = bits & low_mask
+    top_scores = (
+        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    )
+    rows = winner_supertile * bins + bin_pos
+    return top_scores, rows.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -259,3 +259,80 @@ class TestPallasBinTopK:
         scores, idx = dense_topk(queries, corpus, 280, method="fused")
         ref_scores, ref_idx = numpy_topk(queries, corpus, 280)
         assert_topk_matches(scores, idx, ref_scores, ref_idx)
+
+
+class TestPallasBinTopKInt8:
+    """Interpreter-mode checks of the int8 fused kernel."""
+
+    def test_matches_quantized_exact(self):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
+        from lean_explore_tpu.ops.quant import quantize_rows, quantized_topk
+
+        n, b, k = 1024, 4, 32
+        corpus = random_unit_rows(n, 64, seed=20)
+        queries = random_unit_rows(b, 64, seed=21)
+        codes, scales = quantize_rows(corpus)
+
+        got_scores, got_idx = pallas_bin_topk_int8(
+            jnp.asarray(queries),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            jnp.int32(n),
+            k=k,
+            bins=1024,  # bins >= n: collision-free
+            tile_rows=256,
+            exact_epilogue=True,
+            interpret=True,
+        )
+        want_scores, want_idx = quantized_topk(
+            jnp.asarray(queries),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            jnp.int32(n),
+            k=k,
+            exact=True,
+        )
+        # Same quantized inner products up to the packing quantum.
+        np.testing.assert_allclose(
+            np.asarray(got_scores), np.asarray(want_scores), atol=5e-4
+        )
+        overlap = np.mean(
+            [
+                len(set(np.asarray(got_idx)[q]) & set(np.asarray(want_idx)[q])) / k
+                for q in range(b)
+            ]
+        )
+        assert overlap >= 0.95  # packing may swap near-exact ties
+
+    def test_provenance_invariant(self):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
+        from lean_explore_tpu.ops.quant import quantize_rows
+
+        n, b, k = 2048, 3, 16
+        corpus = random_unit_rows(n, 64, seed=22)
+        queries = random_unit_rows(b, 64, seed=23)
+        codes, scales = quantize_rows(corpus)
+        scores, idx = pallas_bin_topk_int8(
+            jnp.asarray(queries),
+            jnp.asarray(codes),
+            jnp.asarray(scales),
+            jnp.int32(n),
+            k=k,
+            bins=512,
+            tile_rows=256,
+            interpret=True,
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        assert idx.min() >= 0 and idx.max() < n
+        # Scores must equal the calibrated int8 inner product of that row.
+        deq = codes.astype(np.float32) * scales[:, None]
+        q_abs = np.abs(queries).max(axis=1)
+        q_scales = np.where(q_abs > 0, q_abs / 127.0, 1.0)
+        q_codes = np.clip(np.rint(queries / q_scales[:, None]), -127, 127)
+        for q in range(b):
+            want = (q_codes[q] * q_scales[q]) @ deq[idx[q]].T
+            np.testing.assert_allclose(scores[q], want, atol=5e-4)
