@@ -176,6 +176,7 @@ class DenseIndex:
                         jnp.asarray(self.n, dtype=jnp.int32),
                         k=k,
                         bins=bins,
+                        recall_target=0.99,  # free over [B, bins]
                     )
                     rows = np.asarray(jax.device_get(rows))
                     scores = np.asarray(jax.device_get(scores))

@@ -290,6 +290,9 @@ def dense_topk(
         bins = max(bins, tile_rows)
         if k > bins:
             return _full_topk(queries, corpus, n_valid, k=k)
+        # The fused epilogue selects over [B, bins] — two orders smaller
+        # than [B, N] — so a high recall target there is free (measured:
+        # rt=0.99 and rt=0.95 time identically at config 3).
         return pallas_bin_topk(
             queries,
             corpus,
@@ -297,7 +300,7 @@ def dense_topk(
             k=k,
             bins=bins,
             tile_rows=tile_rows,
-            recall_target=recall_target,
+            recall_target=max(recall_target, 0.99),
             interpret=jax.default_backend() != "tpu",
         )
     if method == "chunked":

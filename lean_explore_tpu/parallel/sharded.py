@@ -100,7 +100,7 @@ def make_sharded_topk(
             k=local_k,
             bins=bins,
             tile_rows=512,
-            recall_target=recall_target,
+            recall_target=max(recall_target, 0.99),  # free over [B, bins]
             interpret=jax.default_backend() != "tpu",
         )
         if local_k < k:
