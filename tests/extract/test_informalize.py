@@ -178,3 +178,210 @@ class TestInformalizeDeclarations:
             )
         )
         assert n == 1
+
+
+class TestCacheSemantics:
+    """Cache is keyed (name, source_text) — the reference's exact reuse rule
+    (informalize.py:189-237)."""
+
+    def _store_with(self, name, source):
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        store = DeclarationStore(":memory:", create=True)
+        store.insert_many(
+            [
+                Declaration(
+                    name=name, module="M", source_text=source,
+                    source_link="https://x",
+                )
+            ]
+        )
+        return store
+
+    def test_changed_source_misses_cache(self, monkeypatch, tmp_path):
+        import asyncio
+
+        from lean_explore_tpu.extract import informalize as inf
+
+        store = self._store_with("Nat.add", "def add := NEW BODY")
+        monkeypatch.setattr(inf, "discover_database_files", lambda: [])
+        llm = FakeLLM()
+        cache = {("Nat.add", "def add := OLD BODY"): "cached text"}
+        monkeypatch.setattr(
+            inf, "load_informalization_cache", lambda files: cache
+        )
+        done = asyncio.run(
+            inf.informalize_declarations(store, client=llm, use_cache=True)
+        )
+        assert done == 1
+        assert len(llm.calls) == 1  # cache MISSED -> LLM was used
+        store.close()
+
+    def test_same_source_hits_cache(self, monkeypatch):
+        import asyncio
+
+        from lean_explore_tpu.extract import informalize as inf
+
+        store = self._store_with("Nat.add", "def add := SAME")
+        monkeypatch.setattr(inf, "discover_database_files", lambda: [])
+        monkeypatch.setattr(
+            inf,
+            "load_informalization_cache",
+            lambda files: {("Nat.add", "def add := SAME"): "**Add.** cached"},
+        )
+        llm = FakeLLM()
+        asyncio.run(inf.informalize_declarations(store, client=llm, use_cache=True))
+        assert len(llm.calls) == 0
+        decl = store.get_by_name("Nat.add")
+        assert decl.informalization == "**Add.** cached"
+        store.close()
+
+
+class TestDependencyContextFlow:
+    def test_layered_descriptions_reach_dependents(self):
+        """A dependency informalized in layer 0 must appear in its
+        dependent's prompt in layer 1 (reference informalize.py:289-330)."""
+        import asyncio
+        import json
+
+        from lean_explore_tpu.extract import informalize as inf
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        store = DeclarationStore(":memory:", create=True)
+        store.insert_many(
+            [
+                Declaration(
+                    name="Base", module="M", source_text="def base := 1",
+                    source_link="https://x",
+                ),
+                Declaration(
+                    name="Derived", module="M", source_text="def derived := base",
+                    source_link="https://x",
+                    dependencies=json.dumps(["Base"]),
+                ),
+            ]
+        )
+
+        prompts: list[str] = []
+
+        class RecordingLLM:
+            async def generate(self, prompt, model=None, temperature=0.3):
+                prompts.append(prompt)
+                name = "Base" if "def base" in prompt else "Derived"
+                return f"**{name}.** description of {name.lower()}"
+
+        asyncio.run(
+            inf.informalize_declarations(
+                store, client=RecordingLLM(), use_cache=False
+            )
+        )
+        derived_prompt = next(p for p in prompts if "def derived" in p)
+        assert "description of base" in derived_prompt
+        store.close()
+
+    def test_semaphore_bounds_concurrency(self):
+        import asyncio
+        import json
+
+        from lean_explore_tpu.extract import informalize as inf
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        store = DeclarationStore(":memory:", create=True)
+        store.insert_many(
+            [
+                Declaration(
+                    name=f"D{i}", module="M", source_text=f"def d{i}",
+                    source_link="https://x", dependencies=json.dumps([]),
+                )
+                for i in range(12)
+            ]
+        )
+
+        class GaugeLLM:
+            def __init__(self):
+                self.in_flight = 0
+                self.peak = 0
+
+            async def generate(self, prompt, model=None, temperature=0.3):
+                self.in_flight += 1
+                self.peak = max(self.peak, self.in_flight)
+                await asyncio.sleep(0.01)
+                self.in_flight -= 1
+                return "**D.** text"
+
+        llm = GaugeLLM()
+        asyncio.run(
+            inf.informalize_declarations(
+                store, client=llm, use_cache=False, max_concurrent=3
+            )
+        )
+        assert llm.peak <= 3
+        store.close()
+
+    def test_commit_batching_persists_incrementally(self):
+        """With commit_batch_size=2, earlier results are durable before the
+        layer finishes (crash loses at most one batch — reference
+        informalize.py:417-427)."""
+        import asyncio
+        import json
+
+        from lean_explore_tpu.extract import informalize as inf
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        store = DeclarationStore(":memory:", create=True)
+        store.insert_many(
+            [
+                Declaration(
+                    name=f"D{i}", module="M", source_text=f"def d{i}",
+                    source_link="https://x", dependencies=json.dumps([]),
+                )
+                for i in range(5)
+            ]
+        )
+        seen_counts: list[int] = []
+
+        class CountingLLM:
+            async def generate(self, prompt, model=None, temperature=0.3):
+                await asyncio.sleep(0)  # yield so commits interleave
+                rows = sum(
+                    1
+                    for d in store.iter_all(with_embeddings=False)
+                    if d.informalization
+                )
+                seen_counts.append(rows)
+                return "**X.** text"
+
+        asyncio.run(
+            inf.informalize_declarations(
+                store, client=CountingLLM(), use_cache=False,
+                commit_batch_size=2, max_concurrent=1,
+            )
+        )
+        # By the later calls, earlier batches must already be committed.
+        assert max(seen_counts) >= 2
+        final = sum(
+            1 for d in store.iter_all(with_embeddings=False) if d.informalization
+        )
+        assert final == 5
+        store.close()
+
+    def test_malformed_dependency_json_tolerated(self):
+        import asyncio
+
+        from lean_explore_tpu.extract import informalize as inf
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        store = DeclarationStore(":memory:", create=True)
+        store.insert_many(
+            [
+                Declaration(
+                    name="Bad", module="M", source_text="def bad",
+                    source_link="https://x", dependencies="{not json]",
+                )
+            ]
+        )
+        done = asyncio.run(
+            inf.informalize_declarations(store, client=FakeLLM(), use_cache=False)
+        )
+        assert done == 1
+        store.close()
