@@ -96,3 +96,63 @@ class TestAuth:
         monkeypatch.setenv("LEANEXPLORE_API_KEY", "from-env")
         client = ApiClient()
         assert client.api_key == "from-env"
+
+
+class TestInit:
+    def test_parameter_overrides_env(self, monkeypatch):
+        monkeypatch.setenv("LEANEXPLORE_API_KEY", "from-env")
+        assert ApiClient(api_key="explicit").api_key == "explicit"
+
+    def test_timeouts(self):
+        assert ApiClient(api_key="k").timeout == 10.0
+        assert ApiClient(api_key="k", timeout=3.5).timeout == 3.5
+
+    def test_default_base_url(self):
+        from lean_explore_tpu.config import Config
+
+        assert ApiClient(api_key="k").base_url == Config.API_BASE_URL.rstrip("/")
+
+    def test_base_url_override_strips_slash(self):
+        client = ApiClient(api_key="k", base_url="https://x/api/v2/")
+        assert client.base_url == "https://x/api/v2"
+
+
+class TestSearchEdgeCases:
+    def test_empty_results(self):
+        client = make_client(lambda r: httpx.Response(200, json={"results": []}))
+        resp = run(client.search("nothing matches"))
+        assert resp.count == 0 and resp.results == []
+
+    def test_default_limit_in_params(self):
+        seen = {}
+
+        def handler(request):
+            seen["url"] = str(request.url)
+            return httpx.Response(200, json={"results": []})
+
+        run(make_client(handler).search("q"))
+        assert "limit=20" in seen["url"]  # reference default (client.py:42)
+
+    def test_no_packages_param_when_unset(self):
+        seen = {}
+
+        def handler(request):
+            seen["url"] = str(request.url)
+            return httpx.Response(200, json={"results": []})
+
+        run(make_client(handler).search("q"))
+        assert "packages" not in seen["url"]
+
+
+class TestGetByIdContract:
+    def test_endpoint_and_auth(self):
+        seen = {}
+
+        def handler(request):
+            seen["url"] = str(request.url)
+            seen["auth"] = request.headers.get("Authorization")
+            return httpx.Response(200, json=RESULT)
+
+        run(make_client(handler).get_by_id(42))
+        assert seen["url"].endswith("/declarations/42")
+        assert seen["auth"] == "Bearer key-123"

@@ -311,3 +311,160 @@ class TestStdioEndToEnd:
         )
         assert proc.returncode == 1
         assert "data fetch" in proc.stderr
+
+
+class SyncBackend:
+    """ApiClient-style duck-typed backend whose methods are coroutines is the
+    normal case; the reference ALSO supports plain-sync backends via
+    iscoroutine dispatch (mcp/tools.py:128-160). This double returns values
+    directly."""
+
+    def __init__(self):
+        self.search_calls = []
+        self.result = SearchResult(
+            id=3, name="Sync.decl", module="Pkg.M", docstring=None,
+            source_text="def s", source_link="https://s", dependencies=None,
+            informalization=None,
+        )
+
+    def search(self, query, limit, rerank_top, packages):
+        self.search_calls.append((query, limit, rerank_top, packages))
+        return SearchResponse(
+            query=query, results=[self.result], count=1, processing_time_ms=1
+        )
+
+    def get_by_id(self, declaration_id):
+        return self.result if declaration_id == 3 else None
+
+
+class TestToolsBackendVariants:
+    def _with_backend(self, backend):
+        from lean_explore_tpu.mcp import app, tools  # noqa: F401
+
+        app.set_backend_service(backend)
+        return backend
+
+    def teardown_method(self):
+        from lean_explore_tpu.mcp import app
+
+        app._backend_service = None
+
+    def test_sync_backend_search(self):
+        from lean_explore_tpu.mcp import tools
+
+        backend = self._with_backend(SyncBackend())
+        out = run(tools.search(query="sync"))
+        assert out["count"] == 1 and out["results"][0]["name"] == "Sync.decl"
+        assert backend.search_calls == [("sync", 10, 50, None)]  # defaults
+
+    def test_sync_backend_field_getter(self):
+        from lean_explore_tpu.mcp import tools
+
+        self._with_backend(SyncBackend())
+        assert run(tools.get_module(declaration_id=3))["module"] == "Pkg.M"
+        assert run(tools.get_module(declaration_id=4)) is None
+
+    def test_parameter_passthrough(self):
+        from lean_explore_tpu.mcp import tools
+
+        backend = self._with_backend(SyncBackend())
+        run(tools.search(query="q", limit=25, rerank_top=0, packages=["Mathlib"]))
+        assert backend.search_calls[-1] == ("q", 25, 0, ["Mathlib"])
+
+    def test_summary_without_informalization_drops_description(self):
+        from lean_explore_tpu.mcp import tools
+
+        self._with_backend(SyncBackend())
+        out = run(tools.search_summary(query="x"))
+        assert out["results"][0] == {"id": 3, "name": "Sync.decl",
+                                     "description": None}
+
+    def test_backend_without_search_method(self):
+        from lean_explore_tpu.mcp import tools
+
+        self._with_backend(object())
+        with pytest.raises(RuntimeError, match="not available"):
+            run(tools.search(query="x"))
+
+    def test_backend_without_get_by_id(self):
+        from lean_explore_tpu.mcp import tools
+
+        class SearchOnly:
+            def search(self, **kw):
+                raise AssertionError("unused")
+
+        self._with_backend(SearchOnly())
+        with pytest.raises(RuntimeError, match="not available"):
+            run(tools.get_docstring(declaration_id=1))
+
+    def test_no_backend_raises_helpful_error(self):
+        from lean_explore_tpu.mcp import app, tools
+
+        app._backend_service = None
+        with pytest.raises(RuntimeError, match="not initialized"):
+            run(tools.search(query="x"))
+
+
+class TestServerArguments:
+    def test_parse_local_backend(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        args = _parse_arguments(["--backend", "local"])
+        assert args.backend == "local" and args.log_level == "ERROR"
+
+    def test_parse_api_with_key_and_level(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        args = _parse_arguments(
+            ["--backend", "api", "--api-key", "k", "--log-level", "DEBUG"]
+        )
+        assert args.backend == "api" and args.api_key == "k"
+        assert args.log_level == "DEBUG"
+
+    def test_missing_backend_exits_2(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        with pytest.raises(SystemExit) as err:
+            _parse_arguments([])
+        assert err.value.code == 2
+
+    def test_invalid_backend_exits_2(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        with pytest.raises(SystemExit) as err:
+            _parse_arguments(["--backend", "weird"])
+        assert err.value.code == 2
+
+    def test_invalid_log_level_exits_2(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        with pytest.raises(SystemExit) as err:
+            _parse_arguments(["--backend", "local", "--log-level", "LOUD"])
+        assert err.value.code == 2
+
+    def test_api_backend_requires_key(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments, build_backend
+
+        with pytest.raises(SystemExit) as err:
+            build_backend(_parse_arguments(["--backend", "api"]))
+        assert err.value.code == 1
+
+    def test_api_backend_builds_client(self):
+        from lean_explore_tpu.api import ApiClient
+        from lean_explore_tpu.mcp.server import _parse_arguments, build_backend
+
+        backend = build_backend(
+            _parse_arguments(["--backend", "api", "--api-key", "secret"])
+        )
+        assert isinstance(backend, ApiClient)
+
+    def test_local_backend_missing_files_exits_1(self, tmp_path):
+        from lean_explore_tpu.mcp.server import _parse_arguments, build_backend
+
+        with pytest.raises(SystemExit) as err:
+            build_backend(
+                _parse_arguments(
+                    ["--backend", "local", "--data-dir", str(tmp_path / "no")]
+                )
+            )
+        assert err.value.code == 1
