@@ -44,6 +44,12 @@ def _parse_arguments(argv=None) -> argparse.Namespace:
         default=None,
         help="Index artifact directory (default: configured cache path).",
     )
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="Compile the serving programs (encode/dense/rerank) before "
+        "accepting requests, so the first tool call is fast (local backend).",
+    )
     return parser.parse_args(argv)
 
 
@@ -90,6 +96,13 @@ def main(argv=None) -> None:
     logger.info("Starting Lean Explore MCP server (backend=%s)", args.backend)
 
     backend = build_backend(args)
+
+    if args.warmup and hasattr(backend, "warmup"):
+        import asyncio
+
+        logger.info("Warming serving programs ...")
+        elapsed_ms = asyncio.run(backend.warmup())
+        logger.info("Warmup done in %d ms", elapsed_ms)
 
     from lean_explore_tpu.mcp import tools  # noqa: F401 — registers tools
     from lean_explore_tpu.mcp.app import mcp_app, set_backend_service

@@ -5,10 +5,13 @@ Surface parity with the reference Service (service.py:9-68): same defaults
 entry point the TPU serving path is built around.
 """
 
+import logging
 import time
 
 from lean_explore_tpu.models import SearchResponse, SearchResult
 from lean_explore_tpu.search.engine import SearchEngine
+
+logger = logging.getLogger(__name__)
 
 
 class Service:
@@ -61,3 +64,25 @@ class Service:
 
     async def get_by_id(self, declaration_id: int) -> SearchResult | None:
         return await self.engine.get_by_id(declaration_id)
+
+    async def warmup(self, *, rerank: bool = True) -> int:
+        """Compile-and-execute the serving programs before real traffic.
+
+        The first query otherwise pays model loading plus XLA compilation of
+        the encode / dense-retrieval / rerank programs (tens of seconds on a
+        cold chip). Best-effort: installations without local model
+        checkpoints (BM25-only serving) warm what they can. Runs one tiny
+        end-to-end batch; returns elapsed ms.
+        """
+        start = time.time()
+        for rerank_top in ([1, 0] if rerank else [0]):
+            try:
+                await self.engine.search_batch(
+                    ["warmup query"], limit=1, rerank_top=rerank_top
+                )
+                break
+            except FileNotFoundError as exc:
+                logger.warning(
+                    "warmup degraded (model checkpoint unavailable): %s", exc
+                )
+        return int((time.time() - start) * 1000)

@@ -300,3 +300,149 @@ class TestDataConvert:
         empty.mkdir()
         result = CliRunner().invoke(cli, ["data", "convert", str(empty)])
         assert result.exit_code != 0
+
+
+class TestDataFetchHelpers:
+    def test_fetch_latest_version_strips_whitespace(self, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+
+        class Resp:
+            text = "  20260101_000000\n"
+
+            def raise_for_status(self):
+                pass
+
+        monkeypatch.setattr(dc.requests, "get", lambda url, timeout: Resp())
+        assert dc.fetch_latest_version("https://b") == "20260101_000000"
+
+    def test_fetch_latest_version_network_error(self, monkeypatch):
+        import requests as req
+
+        from lean_explore_tpu.cli import data_commands as dc
+
+        def boom(url, timeout):
+            raise req.exceptions.ConnectionError("down")
+
+        monkeypatch.setattr(dc.requests, "get", boom)
+        with pytest.raises(ValueError, match="Failed to fetch"):
+            dc.fetch_latest_version("https://b")
+
+    def test_write_active_version_roundtrip(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import Config
+
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", tmp_path / "cache")
+        dc.write_active_version("v1")
+        dc.write_active_version("v2")  # overwrite
+        assert (tmp_path / "active_version").read_text() == "v2"
+
+    def test_cleanup_removes_only_other_versions(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import Config
+
+        cache = tmp_path / "cache"
+        for v in ("v1", "v2", "keep"):
+            (cache / v).mkdir(parents=True)
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", cache)
+        dc.cleanup_old_versions("keep")
+        assert sorted(p.name for p in cache.iterdir()) == ["keep"]
+
+    def test_cleanup_handles_missing_cache(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import Config
+
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", tmp_path / "absent")
+        dc.cleanup_old_versions("x")  # must not raise
+
+    def test_install_downloads_all_files_and_activates(
+        self, tmp_path, monkeypatch
+    ):
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import REQUIRED_INDEX_FILES, Config
+
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", tmp_path / "cache")
+        downloaded = []
+
+        def fake_download(url, destination, progress):
+            downloaded.append(url.rsplit("/", 1)[-1])
+            destination.parent.mkdir(parents=True, exist_ok=True)
+            destination.write_bytes(b"x")
+
+        monkeypatch.setattr(dc, "download_file", fake_download)
+        version = dc.install_toolchain("v9", base_url="https://b")
+        assert version == "v9"
+        assert sorted(downloaded) == sorted(REQUIRED_INDEX_FILES)
+        assert (tmp_path / "active_version").read_text() == "v9"
+
+    def test_install_fetches_latest_when_unversioned(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import Config
+
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", tmp_path / "cache")
+        monkeypatch.setattr(dc, "fetch_latest_version", lambda b: "vLATEST")
+        monkeypatch.setattr(
+            dc, "download_file",
+            lambda url, d, p: (d.parent.mkdir(parents=True, exist_ok=True),
+                               d.write_bytes(b"x")),
+        )
+        assert dc.install_toolchain(None, base_url="https://b") == "vLATEST"
+
+
+class TestDataCommandsCli:
+    def test_fetch_command_invokes_install(self, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+
+        calls = []
+        monkeypatch.setattr(
+            dc, "install_toolchain", lambda v: calls.append(v) or "v1"
+        )
+        result = CliRunner().invoke(cli, ["data", "fetch", "-v", "20260101"])
+        assert result.exit_code == 0 and calls == ["20260101"]
+
+    def test_fetch_command_error_message(self, monkeypatch):
+        from lean_explore_tpu.cli import data_commands as dc
+
+        def boom(v):
+            raise ValueError("no such version")
+
+        monkeypatch.setattr(dc, "install_toolchain", boom)
+        result = CliRunner().invoke(cli, ["data", "fetch"])
+        assert result.exit_code != 0 and "no such version" in result.output
+
+    def test_clean_aborted_keeps_data(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.config import Config
+
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", cache)
+        result = CliRunner().invoke(cli, ["data", "clean"], input="n\n")
+        assert result.exit_code == 1  # click confirmation abort
+        assert cache.exists()
+
+    def test_clean_confirmed_removes_cache_and_marker(
+        self, tmp_path, monkeypatch
+    ):
+        from lean_explore_tpu.config import Config
+
+        cache = tmp_path / "cache"
+        (cache / "v1").mkdir(parents=True)
+        marker = tmp_path / "active_version"
+        marker.write_text("v1")
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", cache)
+        result = CliRunner().invoke(cli, ["data", "clean"], input="y\n")
+        assert result.exit_code == 0
+        assert not cache.exists() and not marker.exists()
+
+    def test_clean_no_data_message(self, tmp_path, monkeypatch):
+        from lean_explore_tpu.config import Config
+
+        monkeypatch.setattr(Config, "CACHE_DIRECTORY", tmp_path / "none")
+        result = CliRunner().invoke(cli, ["data", "clean"], input="y\n")
+        assert result.exit_code == 0 and "No local data" in result.output
+
+    def test_help_surfaces(self):
+        for args in ([], ["search", "--help"], ["mcp", "--help"],
+                     ["data", "--help"], ["data", "fetch", "--help"],
+                     ["data", "convert", "--help"]):
+            result = CliRunner().invoke(cli, args or ["--help"])
+            assert result.exit_code == 0

@@ -468,3 +468,37 @@ class TestServerArguments:
                 )
             )
         assert err.value.code == 1
+
+
+class TestWarmup:
+    def test_service_warmup_compiles_pipeline(self, tmp_path):
+        from lean_explore_tpu.index import build_index_artifacts, load_index_artifacts
+        from lean_explore_tpu.models import DeclarationStore
+        from lean_explore_tpu.search.engine import SearchEngine
+        from lean_explore_tpu.search.service import Service
+        from tests.conftest import make_declaration
+        from tests.search.test_engine import FakeEmbeddingClient, FakeRerankerClient
+
+        store = DeclarationStore(tmp_path / "declarations.db", create=True)
+        store.insert_many([make_declaration("Nat.add", "Init.Nat")])
+        build_index_artifacts(store, tmp_path)
+        service = Service(
+            SearchEngine(
+                tmp_path,
+                store=store,
+                artifacts=load_index_artifacts(tmp_path),
+                embedding_client=FakeEmbeddingClient(),
+                reranker_client=FakeRerankerClient(),
+            )
+        )
+        elapsed = run(service.warmup())
+        assert elapsed >= 0
+        # Subsequent searches run against the warmed programs.
+        resp = run(service.search("Nat.add", rerank_top=0))
+        assert resp.count >= 0
+
+    def test_server_warmup_flag_parsed(self):
+        from lean_explore_tpu.mcp.server import _parse_arguments
+
+        assert _parse_arguments(["--backend", "local", "--warmup"]).warmup
+        assert not _parse_arguments(["--backend", "local"]).warmup
