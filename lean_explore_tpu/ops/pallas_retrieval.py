@@ -271,6 +271,9 @@ def pallas_bin_topk_int8(
     from lean_explore_tpu.ops.quant import _quantize_rows_device
 
     n, dim = corpus_codes.shape
+    real_batch = queries.shape[0]
+    if real_batch % 8:  # Mosaic matvec-lowering bug at tiny B; see f32 twin
+        queries = jnp.pad(queries, ((0, -real_batch % 8), (0, 0)))
     batch = queries.shape[0]
     if n % tile_rows != 0:
         raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
@@ -340,7 +343,7 @@ def pallas_bin_topk_int8(
         lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
     )
     rows = winner_supertile * bins + bin_pos
-    return top_scores, rows.astype(jnp.int32)
+    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 @functools.partial(
@@ -386,6 +389,12 @@ def pallas_bin_topk(
         interpret: Pallas interpreter mode (CPU tests).
     """
     n, dim = corpus.shape
+    real_batch = queries.shape[0]
+    # Tiny query batches trip a Mosaic matvec-lowering bug (bf16 dot_general
+    # at B=1 fails verification) and underfill the lane axis anyway; pad the
+    # batch to a multiple of 8 and slice the outputs back.
+    if real_batch % 8:
+        queries = jnp.pad(queries, ((0, -real_batch % 8), (0, 0)))
     batch = queries.shape[0]
     if n % tile_rows != 0:
         raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
@@ -451,7 +460,7 @@ def pallas_bin_topk(
         lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
     )
     rows = winner_supertile * bins + bin_pos
-    return top_scores, rows.astype(jnp.int32)
+    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 @functools.partial(

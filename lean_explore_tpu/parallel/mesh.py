@@ -51,6 +51,38 @@ def make_mesh(
     return Mesh(grid, axis_names)
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (DCN) for cross-host meshes.
+
+    Single-host pods need nothing — ICI connects all local chips and
+    ``make_mesh`` sees every device. Across hosts, call this once per
+    process before any device use (arguments default to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars);
+    afterwards ``jax.devices()`` spans the fleet and the same
+    ``LEAN_EXPLORE_MESH_SHAPE`` knob shards the corpus across all of it.
+    Mesh layout guidance: keep the ``corpus`` axis within a host's ICI
+    domain and put ``data`` (independent query sub-batches — one all_gather
+    per batch, no other cross-shard traffic) on the DCN boundary.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        len(jax.devices()),
+    )
+
+
 def serve_mesh_from_config() -> Mesh | None:
     """Build the serving mesh from ``Config.MESH_SHAPE``, or None.
 

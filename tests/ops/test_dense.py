@@ -336,3 +336,39 @@ class TestPallasBinTopKInt8:
         for q in range(b):
             want = (q_codes[q] * q_scales[q]) @ deq[idx[q]].T
             np.testing.assert_allclose(scores[q], want, atol=5e-4)
+
+
+class TestSingleQueryBatch:
+    """B=1 regression: tiny batches trip a Mosaic matvec-lowering bug on
+    hardware; the wrappers pad the batch to 8 and slice back."""
+
+    def test_bin_topk_b1(self):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
+
+        corpus = random_unit_rows(1024, 64, seed=30)
+        queries = random_unit_rows(1, 64, seed=31)
+        scores, idx = pallas_bin_topk(
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.int32(1024),
+            k=10, bins=1024, tile_rows=256, exact_epilogue=True,
+            interpret=True,
+        )
+        assert scores.shape == (1, 10) and idx.shape == (1, 10)
+        ref_scores, ref_idx = numpy_topk(queries, corpus, 10)
+        assert_topk_matches(scores, idx, ref_scores, ref_idx, atol=5e-4)
+
+    def test_bin_topk_int8_b1(self):
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
+        from lean_explore_tpu.ops.quant import quantize_rows
+
+        corpus = random_unit_rows(512, 64, seed=32)
+        codes, scales = quantize_rows(corpus)
+        queries = random_unit_rows(1, 64, seed=33)
+        scores, idx = pallas_bin_topk_int8(
+            jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.int32(512), k=5, bins=512, tile_rows=256, interpret=True,
+        )
+        assert scores.shape == (1, 5) and np.asarray(idx).max() < 512
