@@ -1,18 +1,19 @@
-"""Pallas fused retrieval kernel: corpus-tile matmul + masking + window max.
+"""Pallas fused retrieval kernels (the FAISS IVF scan hot-loop replacement,
+reference search/engine.py:247-250).
 
-One pass over the HBM-resident corpus computes, per tile, the query-corpus
-inner products (MXU), pad-row masking, and a max-reduction over windows of W
-corpus rows (VPU) — the scores never round-trip to HBM between those steps.
-The host-visible outputs feed the exact windowed top-k (see ops/dense.py for
-the exactness argument): top-k over window maxima, gather winning windows,
-final top-k.
+Serving default — fused matmul + bin-max selection with packed provenance:
+``pallas_bin_topk`` (bfloat16/float32) and ``pallas_bin_topk_int8`` compute
+the corpus-tile inner products on the MXU and fold top-k selection into the
+same pass via a per-query bin-max carry in VMEM scratch; the [B, N] score
+tensor never reaches HBM and the epilogue selects over [B, bins] only.
+Measured 85-103k q/s at the Mathlib serving geometry (docs/performance.md).
 
-Layout choice: scores are produced *transposed* ([N, B] with corpus rows on
-the sublane axis) so the window reduction is a leading-axis reshape+max,
-which Mosaic lowers efficiently; a trailing-axis W-reshape would fight the
-(8,128) tiling.
-
-Replaces the FAISS IVF scan hot loop (reference search/engine.py:247-250).
+Exact path — ``fused_scores_wmax`` / ``pallas_windowed_topk``: one VMEM pass
+computing matmul, pad masking, and a max-reduction over windows of W corpus
+rows, feeding the exact windowed top-k (ops/dense.py for the exactness
+argument). Scores are produced *transposed* ([N, B], corpus rows on the
+sublane axis) so the window reduction is a leading-axis reshape+max, which
+Mosaic lowers efficiently.
 """
 
 import functools

@@ -1,11 +1,11 @@
-"""Corpus-sharded exact dense retrieval over a device mesh.
+"""Corpus-sharded dense retrieval over a device mesh.
 
 BASELINE config 5: corpus embedding rows are sharded across the ``corpus``
-mesh axis, every device computes an exact local top-k over its shard
-(ops/dense chunked scan), the per-shard (scores, global indices) are
-``all_gather``-ed over ICI, and each device finishes with a k-way merge —
-the collective the reference has no analogue for (it is single-process;
-SURVEY.md §2c).
+mesh axis, every device computes a local top-k over its shard (the fused
+matmul+selection kernel on TPU, the exact chunked scan for small shards or
+off-TPU), the per-shard (scores, global indices) are ``all_gather``-ed over
+ICI, and each device finishes with a k-way merge — the collective the
+reference has no analogue for (it is single-process; SURVEY.md §2c).
 
 Queries ride the ``data`` axis (DP): a (data=2, corpus=4) mesh serves two
 query sub-batches concurrently, each against the full corpus.
