@@ -462,3 +462,76 @@ class TestGetByIdNameParity:
     def test_get_by_name_missing(self, reference_engine, our_engine):
         assert _run(reference_engine.get_by_name("No.Such.Decl")) is None
         assert _run(our_engine.get_by_name("No.Such.Decl")) is None
+
+
+@pytest.fixture(scope="module")
+def our_native_engine(tmp_path_factory, corpus_rows):
+    """Same engine with preloaded metadata => native lexcore RRF + dep boost
+    (when built). The verbatim-reference comparison below then certifies the
+    NATIVE fusion path, not just the Python fallback."""
+    path = tmp_path_factory.mktemp("trace_arts_native")
+    store = DeclarationStore(path / "declarations.db", create=True)
+    store.insert_many(
+        [
+            Declaration(
+                **{k: v for k, v in r.items() if k != "id"},
+                informalization_embedding=_embedding_for(
+                    r["informalization"]
+                ).tolist(),
+            )
+            for r in corpus_rows
+        ]
+    )
+    build_index_artifacts(store, path)
+    return SearchEngine(
+        path,
+        store=store,
+        artifacts=load_index_artifacts(path, mesh=False),
+        embedding_client=_SharedEmbedder(),
+        reranker_client=_SharedReranker(),
+        preload_metadata=True,
+    )
+
+
+class TestNativeFusionVsReference:
+    """The preloaded engine (native RRF + CSR dependency boost) must still
+    match the reference engine's ranked output exactly."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_exact_order_no_rerank(self, reference_engine, our_native_engine, query):
+        want = _run(
+            reference_engine.search(query, limit=10, rerank_top=0, **SMALL)
+        )
+        got = _run(our_native_engine.search(query, limit=10, rerank_top=0, **SMALL))
+        assert [r.id for r in got] == [r.id for r in want]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_exact_order_with_rerank(
+        self, reference_engine, our_native_engine, query
+    ):
+        want = _run(
+            reference_engine.search(query, limit=10, rerank_top=8, **SMALL)
+        )
+        got = _run(our_native_engine.search(query, limit=10, rerank_top=8, **SMALL))
+        assert [r.id for r in got] == [r.id for r in want]
+
+    def test_package_filter(self, reference_engine, our_native_engine):
+        query = "multiplication commutes"
+        want = _run(
+            reference_engine.search(
+                query, limit=10, rerank_top=8, packages=["Mathlib"], **SMALL
+            )
+        )
+        got = _run(
+            our_native_engine.search(
+                query, limit=10, rerank_top=8, packages=["Mathlib"], **SMALL
+            )
+        )
+        assert [r.id for r in got] == [r.id for r in want]
+
+    def test_native_paths_active_when_built(self, our_native_engine):
+        from lean_explore_tpu.native import load_lexcore
+
+        assert our_native_engine._metadata is not None
+        if load_lexcore() is not None:
+            assert our_native_engine._dep_graph is not None
