@@ -502,15 +502,33 @@ def main() -> None:
     # inside the timed loop (DenseIndex pre-pads the same way at load time).
     padded_n = ((n + 511) // 512) * 512
 
+    # BENCH_ANISO=1: anisotropic corpus — a narrow cone around a shared mean
+    # direction, the geometry real text-embedding models produce (pairwise
+    # cosines ~0.5-0.9, dense near-ties). Exercises the selection kernels in
+    # the regime the round-1 verdict flagged as unmeasured; isotropic
+    # Gaussian remains the default for continuity with prior rounds.
+    aniso = os.environ.get("BENCH_ANISO", "0") == "1"
+
     @jax.jit
     def gen_corpus(key):
-        c = l2_normalize(jax.random.normal(key, (padded_n, dim), jnp.float32))
+        g = jax.random.normal(key, (padded_n, dim), jnp.float32)
+        if aniso:
+            mean_dir = l2_normalize(
+                jax.random.normal(jax.random.PRNGKey(42), (1, dim), jnp.float32)
+            )
+            g = mean_dir + 0.35 * g
+        c = l2_normalize(g)
         row = jax.lax.broadcasted_iota(jnp.int32, (padded_n, 1), 0)
         return jnp.where(row < n, c, 0.0)
 
     @jax.jit
     def gen_queries(key):
         q = jax.random.normal(key, (iters, batch, dim), dtype=jnp.float32)
+        if aniso:  # queries live in the same cone as the corpus
+            mean_dir = l2_normalize(
+                jax.random.normal(jax.random.PRNGKey(42), (1, dim), jnp.float32)
+            )
+            q = mean_dir[None] + 0.35 * q
         return l2_normalize(q)
 
     corpus_f32 = gen_corpus(jax.random.PRNGKey(0))
@@ -628,7 +646,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"dense_retrieval_qps_n{n}_b{batch}_k{k}_{dtype}",
+                "metric": f"dense_retrieval_qps_n{n}_b{batch}_k{k}_{dtype}"
+                + ("_aniso" if aniso else ""),
                 "value": round(tpu_qps, 2),
                 "unit": "queries/sec",
                 "vs_baseline": round(tpu_qps / cpu_ivf_qps, 2),
