@@ -166,6 +166,9 @@ class DenseIndex:
                 )
 
                 bins = 8192
+                batch = max(q.shape[0], 8)
+                while bins * batch * 8 > 8 * 1024 * 1024 and bins > 1024:
+                    bins //= 2  # VMEM cap; see ops.dense fused_pallas
                 while bins > rows_padded and bins > 1024:
                     bins //= 2
                 if k <= bins:

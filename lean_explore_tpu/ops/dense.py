@@ -284,7 +284,13 @@ def dense_topk(
 
         tile_rows = 512
         corpus, _ = pad_rows(corpus, tile_rows)
+        # VMEM budget: the packed carry + output block cost 2*bins*B*4 bytes;
+        # cap at ~8MB so large query batches (B=256/512) still fit a 16MB
+        # core alongside the double-buffered corpus tiles.
+        batch = max(queries.shape[0], 8)
         bins = 8192
+        while bins * batch * 8 > 8 * 1024 * 1024 and bins > 2 * tile_rows:
+            bins //= 2
         while bins > corpus.shape[0] and bins > 2 * tile_rows:
             bins //= 2
         bins = max(bins, tile_rows)

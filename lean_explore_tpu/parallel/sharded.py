@@ -91,6 +91,9 @@ def make_sharded_topk(
         local_k = min(k, rows)
         local_valid = jnp.clip(n_valid - row_offset, 0, rows)
         bins = 8192
+        local_batch = max(q.shape[0], 8)
+        while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
+            bins //= 2  # VMEM cap; see ops.dense fused_pallas
         while bins > rows and bins > 1024:
             bins //= 2
         s, pos = pallas_bin_topk(
