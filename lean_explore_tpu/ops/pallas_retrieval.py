@@ -283,7 +283,11 @@ def pallas_bin_topk_int8(
     if k > bins:
         raise ValueError(f"k={k} exceeds bins={bins}")
     num_tiles = n // tile_rows
-    steal_bits = max(int(max(n // bins, 1) - 1).bit_length(), 1)
+    # Ceiling division: a partial final super-tile still carries id
+    # ceil(n/bins)-1, which must fit in the stolen bits (floor division
+    # overflowed it whenever n % bins != 0 and n // bins was a power of two).
+    n_supertiles = max(-(-n // bins), 1)
+    steal_bits = max(int(n_supertiles - 1).bit_length(), 1)
 
     q_codes, q_scales = _quantize_rows_device(queries.astype(jnp.float32))
 
@@ -404,7 +408,10 @@ def pallas_bin_topk(
     if k > bins:
         raise ValueError(f"k={k} exceeds bins={bins}")
     num_tiles = n // tile_rows
-    n_supertiles = max(n // bins, 1)
+    # Ceiling division: a partial final super-tile still carries id
+    # ceil(n/bins)-1, which must fit in the stolen bits (floor division
+    # overflowed it whenever n % bins != 0 and n // bins was a power of two).
+    n_supertiles = max(-(-n // bins), 1)
     steal_bits = max(int(n_supertiles - 1).bit_length(), 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

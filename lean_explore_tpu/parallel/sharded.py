@@ -55,6 +55,44 @@ def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
     return scores, idx
 
 
+def _local_topk_fused(q, shard, row_offset, n_valid, *, k, recall_target):
+    """Per-shard fused matmul+selection (ops/pallas_retrieval): the
+    single-chip serving default, run under shard_map — each device's
+    local n_valid is how many real rows its shard holds."""
+    from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
+
+    rows = shard.shape[0]
+    local_k = min(k, rows)
+    local_valid = jnp.clip(n_valid - row_offset, 0, rows)
+    bins = 8192
+    local_batch = max(q.shape[0], 8)
+    while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
+        bins //= 2  # VMEM cap; see ops.dense fused_pallas
+    while bins > rows and bins > 1024:
+        bins //= 2
+    s, pos = pallas_bin_topk(
+        q,
+        shard,
+        local_valid,
+        k=local_k,
+        bins=bins,
+        tile_rows=512,
+        recall_target=max(recall_target, 0.99),  # free over [B, bins]
+        interpret=jax.default_backend() != "tpu",
+    )
+    if local_k < k:
+        s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
+        pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
+    # Pad rows (any shard whose valid rows < local_k, not just fully
+    # padded shards) yield packed-zero sentinels that unpack to -3.0
+    # with pad-row indices; real scores are >= -1. Mask each such
+    # candidate so the cross-shard merge can never surface one.
+    sentinel = s <= -2.0
+    s = jnp.where(sentinel, NEG_INF, s)
+    pos = jnp.where(sentinel, 0, pos)
+    return s, row_offset + pos.astype(jnp.int32)
+
+
 def make_sharded_topk(
     mesh: Mesh, *, k: int, chunk: int = 8192, method: str = "chunked",
     recall_target: float = 0.95,
@@ -81,45 +119,15 @@ def make_sharded_topk(
             pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
         return s, row_offset + pos.astype(jnp.int32)
 
-    def _local_topk_fused(q, shard, row_offset, n_valid):
-        """Per-shard fused matmul+selection (ops/pallas_retrieval): the
-        single-chip serving default, run under shard_map — each device's
-        local n_valid is how many real rows its shard holds."""
-        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
-
-        rows = shard.shape[0]
-        local_k = min(k, rows)
-        local_valid = jnp.clip(n_valid - row_offset, 0, rows)
-        bins = 8192
-        local_batch = max(q.shape[0], 8)
-        while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
-            bins //= 2  # VMEM cap; see ops.dense fused_pallas
-        while bins > rows and bins > 1024:
-            bins //= 2
-        s, pos = pallas_bin_topk(
-            q,
-            shard,
-            local_valid,
-            k=local_k,
-            bins=bins,
-            tile_rows=512,
-            recall_target=max(recall_target, 0.99),  # free over [B, bins]
-            interpret=jax.default_backend() != "tpu",
-        )
-        if local_k < k:
-            s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
-            pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
-        # Fully-padded shards (row_offset >= n_valid) produce packed zeros
-        # that unpack to -3.0; mask them so the merge can never pick them.
-        s = jnp.where(local_valid > 0, s, NEG_INF)
-        return s, row_offset + pos.astype(jnp.int32)
-
     def inner(q, corpus, n_valid):
         shard_rows = corpus.shape[0]  # rows per device inside shard_map
         shard_idx = lax.axis_index("corpus")
         row_offset = shard_idx * shard_rows
         if method == "fused":
-            local_s, local_i = _local_topk_fused(q, corpus, row_offset, n_valid[0])
+            local_s, local_i = _local_topk_fused(
+                q, corpus, row_offset, n_valid[0],
+                k=k, recall_target=recall_target,
+            )
         elif method == "approx":
             local_s, local_i = _local_topk_approx(q, corpus, row_offset, n_valid[0])
         else:

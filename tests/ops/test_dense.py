@@ -234,6 +234,29 @@ class TestPallasBinTopK:
         # survivorship expectation: (bins/k)(1 - exp(-k/bins)) ~ 0.94
         assert recallk > 0.85
 
+    def test_partial_final_supertile(self):
+        """n % bins != 0 with n // bins a power of two: the last partial
+        super-tile carries id n//bins, which overflowed the stolen mantissa
+        bits when the count was computed with floor division (wrong indices
+        AND corrupted scores for winners in that super-tile)."""
+        n, b, k, bins = 2560, 4, 32, 1024
+        corpus = random_unit_rows(n, 64, seed=40)
+        queries = random_unit_rows(b, 64, seed=41)
+        # Plant the global winner deep inside the final partial super-tile.
+        corpus[2300] = queries[0]
+        scores, idx = self._run(
+            corpus, queries, n, k, bins=bins, tile_rows=512,
+            exact_epilogue=True,
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        assert idx[0, 0] == 2300
+        np.testing.assert_allclose(scores[0, 0], 1.0, atol=5e-4)
+        # Provenance invariant over the whole pool.
+        assert idx.min() >= 0 and idx.max() < n
+        for q in range(b):
+            want = queries[q] @ corpus[idx[q]].T
+            np.testing.assert_allclose(scores[q], want, atol=5e-4)
+
     def test_masks_padding(self):
         corpus = np.zeros((512, 64), dtype=np.float32)
         corpus[:300] = random_unit_rows(300, 64, seed=5)
@@ -305,6 +328,35 @@ class TestPallasBinTopKInt8:
             ]
         )
         assert overlap >= 0.95  # packing may swap near-exact ties
+
+    def test_partial_final_supertile_int8(self):
+        """Int8 twin of the steal-bits overflow regression (n=2560,
+        bins=1024: final super-tile id 2 needs 2 stolen bits)."""
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
+        from lean_explore_tpu.ops.quant import quantize_rows
+
+        n, b, k = 2560, 3, 16
+        corpus = random_unit_rows(n, 64, seed=42)
+        queries = random_unit_rows(b, 64, seed=43)
+        corpus[2300] = queries[0]
+        codes, scales = quantize_rows(corpus)
+        scores, idx = pallas_bin_topk_int8(
+            jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.int32(n), k=k, bins=1024, tile_rows=512,
+            exact_epilogue=True, interpret=True,
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        assert idx[0, 0] == 2300
+        assert idx.min() >= 0 and idx.max() < n
+        deq = codes.astype(np.float32) * scales[:, None]
+        q_abs = np.abs(queries).max(axis=1)
+        q_scales = np.where(q_abs > 0, q_abs / 127.0, 1.0)
+        q_codes = np.clip(np.rint(queries / q_scales[:, None]), -127, 127)
+        for q in range(b):
+            want = (q_codes[q] * q_scales[q]) @ deq[idx[q]].T
+            np.testing.assert_allclose(scores[q], want, atol=5e-4)
 
     def test_provenance_invariant(self):
         import jax.numpy as jnp

@@ -118,3 +118,33 @@ class TestFusedLocalMethod:
         scores, ids = index.search(queries, k=k)
         assert ids.max() < n
         assert np.all(np.isfinite(scores))
+
+    def test_fused_masks_partial_shard_sentinels(self):
+        """A shard whose valid rows < local_k emits packed-zero sentinels
+        (unpack to score -3.0, pad-row indices); every such candidate must
+        be masked to -inf/offset before the cross-shard merge — masking
+        only fully-padded shards left them live, and the approximate TPU
+        merge could surface one (wrong id, or ids[idx] out of range)."""
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.parallel.sharded import _local_topk_fused
+
+        dim, k = 32, 100
+        rows = 512  # one shard's padded block
+        valid = 38  # valid rows on this shard << local_k
+        shard = np.zeros((rows, dim), dtype=np.float32)
+        shard[:valid] = random_unit_rows(valid, dim, seed=44)
+        q = jnp.asarray(random_unit_rows(8, dim, seed=45))
+        row_offset = 1536  # pretend this is shard 3 of 4
+        s, gi = _local_topk_fused(
+            q, jnp.asarray(shard), row_offset,
+            jnp.int32(row_offset + valid), k=k, recall_target=0.95,
+        )
+        s, gi = np.asarray(s), np.asarray(gi)
+        # Exactly `valid` real candidates per query; the rest -inf.
+        finite = np.isfinite(s)
+        assert finite.sum(axis=1).tolist() == [valid] * 8
+        assert np.all(s[finite] >= -1.0 - 1e-3)  # no -3.0 sentinels
+        # Masked candidates point at the shard base, never past valid rows.
+        assert np.all(gi[~finite] == row_offset)
+        assert np.all(gi[finite] < row_offset + valid)
