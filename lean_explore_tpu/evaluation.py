@@ -1,0 +1,51 @@
+"""Retrieval-quality metrics over labeled (query -> declaration) pairs.
+
+Shared by scripts/eval_retrieval.py (synthetic/real-artifact eval CLI),
+scripts/train_embedder_e2e.py (trained-vs-random embedder comparison), and
+the CI quality gate. The reference ships no eval tooling (its paper used a
+one-off LLM-judge study, LeanExplore.pdf §6); these metrics are how ranking
+regressions get caught here.
+"""
+
+import asyncio
+
+import numpy as np
+
+
+def evaluate_engine(
+    engine,
+    labeled: list[tuple[str, str]],
+    *,
+    k: int = 10,
+    batch: int = 64,
+    dense_k: int = 1000,
+    bm25_k: int = 1000,
+    rerank_top: int = 0,
+) -> dict:
+    """recall@1/@k and MRR@k of engine.search_batch on (query, target) pairs."""
+    hits1 = hitsk = 0
+    reciprocal_ranks = []
+    for start in range(0, len(labeled), batch):
+        chunk = labeled[start : start + batch]
+        results = asyncio.run(
+            engine.search_batch(
+                [q for q, _ in chunk], limit=k, rerank_top=rerank_top,
+                dense_k=dense_k, bm25_k=bm25_k,
+            )
+        )
+        for (_, target), ranked in zip(chunk, results):
+            names = [r.name for r in ranked]
+            if names and names[0] == target:
+                hits1 += 1
+            if target in names:
+                hitsk += 1
+                reciprocal_ranks.append(1.0 / (names.index(target) + 1))
+            else:
+                reciprocal_ranks.append(0.0)
+    n = len(labeled)
+    return {
+        "recall_at_1": round(hits1 / n, 4),
+        f"recall_at_{k}": round(hitsk / n, 4),
+        f"mrr_at_{k}": round(float(np.mean(reciprocal_ranks)), 4),
+        "n_queries": n,
+    }

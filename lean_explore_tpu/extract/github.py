@@ -1,76 +1,112 @@
-"""GitHub metadata fetchers for the extraction pipeline.
+"""GitHub metadata lookups for the extraction pipeline.
 
-Parity surface: reference extract/github.py:15-112. Network-gated: every
-function raises RuntimeError on failure so callers can retry or skip.
+Resolves the pieces of remote state the offline pipeline needs before it can
+build a package: which toolchain a Lean repository pins and which release
+tag to build from (parity surface: reference extract/github.py:15-112).
+
+Everything here sits at a network boundary. Failures are wrapped in
+:class:`GitHubFetchError` so the package-resolution stage
+(extract/packages.py) can decide between retrying, falling back to another
+ref, or skipping the package.
 """
 
 import json
 import logging
 import re
 import urllib.request
+from dataclasses import dataclass
 
 logger = logging.getLogger(__name__)
 
-_GITHUB_REPO_RE = re.compile(r"github\.com/([^/]+)/([^/]+?)(?:\.git)?$")
-_LEAN_VERSION_RE = re.compile(r"v\d+\.\d+\.\d+(?:-rc\d+)?")
-_SEMVER_TAG_RE = re.compile(r"^v?\d+\.\d+\.\d+")
+_TIMEOUT_SECONDS = 30
+_OWNER_REPO = re.compile(r"github\.com/([^/]+)/([^/]+?)(?:\.git)?$")
+_TOOLCHAIN_VERSION = re.compile(r"v\d+\.\d+\.\d+(?:-rc\d+)?")
+_RELEASE_TAG = re.compile(r"^v?\d+\.\d+\.\d+")
+
+
+class GitHubFetchError(RuntimeError):
+    """A GitHub request failed (network, HTTP status, or empty result)."""
+
+
+@dataclass(frozen=True)
+class RepoRef:
+    """An owner/repo pair parsed out of a git URL."""
+
+    owner: str
+    repo: str
+
+    @classmethod
+    def parse(cls, git_url: str) -> "RepoRef":
+        found = _OWNER_REPO.search(git_url)
+        if not found:
+            raise ValueError(
+                f"{git_url!r} does not look like a github.com repository URL"
+            )
+        return cls(*found.groups())
+
+    def raw_file_url(self, ref: str, path: str) -> str:
+        return (
+            "https://raw.githubusercontent.com/"
+            f"{self.owner}/{self.repo}/{ref}/{path}"
+        )
+
+    def tags_url(self) -> str:
+        return (
+            f"https://api.github.com/repos/{self.owner}/{self.repo}"
+            "/tags?per_page=100"
+        )
+
+
+def _get(url: str, *, accept: str | None = None) -> bytes:
+    """One GET with the pipeline's timeout; wraps any failure."""
+    headers = {"Accept": accept} if accept else {}
+    request = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(request, timeout=_TIMEOUT_SECONDS) as reply:
+            return reply.read()
+    except Exception as error:  # noqa: BLE001 — network boundary
+        raise GitHubFetchError(f"GET {url} failed: {error}") from error
 
 
 def github_url_to_raw(git_url: str, branch: str, file_path: str) -> str:
     """Repo URL + ref + path -> raw.githubusercontent.com URL."""
-    match = _GITHUB_REPO_RE.search(git_url)
-    if not match:
-        raise ValueError(f"Could not parse GitHub URL: {git_url}")
-    owner, repo = match.groups()
-    return f"https://raw.githubusercontent.com/{owner}/{repo}/{branch}/{file_path}"
+    return RepoRef.parse(git_url).raw_file_url(branch, file_path)
 
 
 def fetch_lean_toolchain(git_url: str, ref: str = "main") -> str:
-    """Fetch a repo's lean-toolchain file contents at a ref."""
-    raw_url = github_url_to_raw(git_url, ref, "lean-toolchain")
-    logger.info("Fetching lean-toolchain from %s", raw_url)
-    try:
-        with urllib.request.urlopen(raw_url, timeout=30) as response:
-            return response.read().decode("utf-8").strip()
-    except Exception as error:  # noqa: BLE001 — network boundary
-        raise RuntimeError(
-            f"Failed to fetch lean-toolchain from {raw_url}: {error}"
-        ) from error
+    """The repository's ``lean-toolchain`` pin at ``ref``, stripped."""
+    url = RepoRef.parse(git_url).raw_file_url(ref, "lean-toolchain")
+    logger.info("resolving toolchain pin: %s", url)
+    return _get(url).decode("utf-8").strip()
 
 
 def fetch_latest_tag(git_url: str) -> str:
-    """Newest semver-looking tag of a repo (GitHub API)."""
-    match = _GITHUB_REPO_RE.search(git_url)
-    if not match:
-        raise ValueError(f"Could not parse GitHub URL: {git_url}")
-    owner, repo = match.groups()
-    api_url = f"https://api.github.com/repos/{owner}/{repo}/tags?per_page=100"
-    logger.info("Fetching tags from %s", api_url)
-    try:
-        request = urllib.request.Request(
-            api_url, headers={"Accept": "application/vnd.github.v3+json"}
-        )
-        with urllib.request.urlopen(request, timeout=30) as response:
-            tags = json.loads(response.read().decode("utf-8"))
-    except Exception as error:  # noqa: BLE001
-        raise RuntimeError(f"Failed to fetch tags from {api_url}: {error}") from error
+    """The repository's highest release-style tag.
 
+    Tags that parse as (v)MAJOR.MINOR.PATCH are compared numerically; when
+    none do, the API's first (most recent) tag is used as-is.
+    """
+    repo = RepoRef.parse(git_url)
+    url = repo.tags_url()
+    logger.info("listing tags: %s", url)
+    tags = json.loads(_get(url, accept="application/vnd.github.v3+json"))
     if not tags:
-        raise RuntimeError(f"No tags found for {git_url}")
+        raise GitHubFetchError(f"{repo.owner}/{repo.repo} has no tags")
 
-    semver_tags = [t["name"] for t in tags if _SEMVER_TAG_RE.match(t["name"])]
-    if not semver_tags:
-        return tags[0]["name"]
+    names = [t["name"] for t in tags]
+    releases = [n for n in names if _RELEASE_TAG.match(n)]
+    if not releases:
+        return names[0]
 
-    def key(tag: str) -> list[int]:
-        return [int(x) for x in re.findall(r"\d+", tag)]
+    def numeric(tag: str) -> list[int]:
+        return [int(part) for part in re.findall(r"\d+", tag)]
 
-    return max(semver_tags, key=key)
+    return max(releases, key=numeric)
 
 
 def extract_lean_version(toolchain: str) -> str:
     """'leanprover/lean4:v4.27.0' -> 'v4.27.0' (rc suffixes preserved)."""
-    match = _LEAN_VERSION_RE.search(toolchain)
-    if not match:
-        raise ValueError(f"Could not extract version from toolchain: {toolchain}")
-    return match.group()
+    found = _TOOLCHAIN_VERSION.search(toolchain)
+    if not found:
+        raise ValueError(f"no Lean version inside toolchain pin {toolchain!r}")
+    return found.group()

@@ -20,7 +20,6 @@ Prints one JSON line with recall@{1,10}, MRR@10 per configuration.
 """
 
 import argparse
-import asyncio
 import json
 import sys
 import tempfile
@@ -105,35 +104,11 @@ class VectorEmbedder:
         )
 
 
-def evaluate(engine, labeled, *, k: int = 10, batch: int = 64,
-             dense_k: int = 1000, bm25_k: int = 1000) -> dict:
+def evaluate(engine, labeled, **kw) -> dict:
     """recall@1/@k and MRR@k for (query, target-name) pairs."""
-    hits1 = hitsk = 0
-    reciprocal_ranks = []
-    for start in range(0, len(labeled), batch):
-        chunk = labeled[start : start + batch]
-        results = asyncio.run(
-            engine.search_batch(
-                [q for q, _ in chunk], limit=k, rerank_top=0,
-                dense_k=dense_k, bm25_k=bm25_k,
-            )
-        )
-        for (_, target), ranked in zip(chunk, results):
-            names = [r.name for r in ranked]
-            if names and names[0] == target:
-                hits1 += 1
-            if target in names:
-                hitsk += 1
-                reciprocal_ranks.append(1.0 / (names.index(target) + 1))
-            else:
-                reciprocal_ranks.append(0.0)
-    n = len(labeled)
-    return {
-        "recall_at_1": round(hits1 / n, 4),
-        f"recall_at_{k}": round(hitsk / n, 4),
-        f"mrr_at_{k}": round(float(np.mean(reciprocal_ranks)), 4),
-        "n_queries": n,
-    }
+    from lean_explore_tpu.evaluation import evaluate_engine
+
+    return evaluate_engine(engine, labeled, **kw)
 
 
 def main() -> None:

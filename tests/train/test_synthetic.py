@@ -1,0 +1,64 @@
+"""Properties of the synthetic Lean-shaped training corpus."""
+
+import numpy as np
+
+from lean_explore_tpu.models.tokenizer import encode_batch, load_tokenizer
+from lean_explore_tpu.train.synthetic import (
+    build_wordlevel_tokenizer,
+    make_corpus,
+)
+
+
+class TestMakeCorpus:
+    def test_shapes_and_uniqueness(self):
+        corpus = make_corpus(n_decls=300, n_concepts=60, n_eval=40, seed=1)
+        names = [d.name for d in corpus.declarations]
+        assert len(names) == 300
+        assert len(set(names)) == 300  # sorted-triple uniqueness
+        assert len(corpus.eval_queries) == 40
+        assert corpus.n_train == 240
+
+    def test_eval_targets_held_out(self):
+        corpus = make_corpus(n_decls=200, n_concepts=50, n_eval=30, seed=2)
+        train_names = {d.name for d in corpus.declarations[: corpus.n_train]}
+        for _, target in corpus.eval_queries:
+            assert target not in train_names
+
+    def test_queries_share_no_words_with_names(self):
+        """The lexical escape hatch is closed: eval queries are phrased in
+        synonyms, names and bodies in base words."""
+        corpus = make_corpus(n_decls=100, n_concepts=40, n_eval=20, seed=3)
+        base_words = {c.base for c in corpus.concepts}
+        for query, _ in corpus.eval_queries:
+            assert not set(query.split()) & base_words
+
+    def test_informalization_has_bold_title(self):
+        from lean_explore_tpu.models.search_types import extract_bold_description
+
+        corpus = make_corpus(n_decls=20, n_concepts=20, n_eval=4, seed=4)
+        for d in corpus.declarations:
+            assert extract_bold_description(d.informalization)
+
+
+class TestTokenizer:
+    def test_vocabulary_covers_corpus_without_blowup(self, tmp_path):
+        corpus = make_corpus(n_decls=400, n_concepts=80, n_eval=32, seed=5)
+        tok_dir = build_wordlevel_tokenizer(
+            corpus.texts(), tmp_path, extra_texts=("query : ",)
+        )
+        tok = load_tokenizer(tok_dir)
+        # O(concepts) vocabulary, not O(declarations): names decompose.
+        assert tok.vocab_size < 2 * 80 + 100
+        unk = tok.unk_token_id
+        batch = encode_batch(tok, corpus.texts()[:200], max_length=64)
+        n = batch.n_valid
+        assert not np.any(batch.input_ids[:n] == unk)
+
+    def test_snake_case_names_decompose(self, tmp_path):
+        tok_dir = build_wordlevel_tokenizer(
+            ["Mathlib.Algebra.foo_bar.of_baz lemma foo bar baz of"], tmp_path
+        )
+        tok = load_tokenizer(tok_dir)
+        ids_compound = tok("foo_bar")["input_ids"]
+        ids_words = [tok("foo")["input_ids"][0], tok("bar")["input_ids"][0]]
+        assert ids_compound == ids_words
