@@ -23,7 +23,7 @@ class TestTrainServeEval:
                 "--n-decls", "200",
                 "--n-concepts", "48",
                 "--n-eval", "32",
-                "--steps", "100",
+                "--steps", "300",
                 "--batch-size", "32",
                 "--hidden-size", "64",
                 "--platform", "cpu",
@@ -43,7 +43,8 @@ class TestTrainServeEval:
         assert results["trained"]["bm25_only"]["recall_at_10"] <= 0.05
         # At this miniature scale (200 docs) a random-init transformer
         # already scores via token overlap with the synonym-bearing titles;
-        # training must add a clear margin on top (observed: 0.59 vs 0.41).
+        # training must add a clear margin on top (observed at these args:
+        # 0.53 vs 0.41 recall@10, 0.29 vs 0.22 MRR@10).
         assert trained["recall_at_10"] >= random_init["recall_at_10"] + 0.1
         assert trained["recall_at_10"] >= 0.5
         assert trained["mrr_at_10"] >= random_init["mrr_at_10"] + 0.05
