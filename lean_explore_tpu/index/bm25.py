@@ -202,7 +202,10 @@ class Bm25Index:
             lo, hi = self.indptr[tid], self.indptr[tid + 1]
             docs = self.doc_indices[lo:hi]
             tf = self.tf_values[lo:hi].astype(np.float64)
-            denom = p.k1 * (1.0 - p.b + p.b * self.doc_lengths[docs] / self.avgdl) + tf
+            # Same association as the native scorer (k1(1-b) and k1*b/avgdl
+            # precomputed) so both paths are bit-identical.
+            k1b_over_avgdl = p.k1 * p.b / self.avgdl if self.avgdl > 0 else 0.0
+            denom = p.k1 * (1.0 - p.b) + k1b_over_avgdl * self.doc_lengths[docs] + tf
             if p.method == "robertson":
                 tfc = tf / denom
             else:

@@ -17,13 +17,38 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_CANDIDATES = [
-    Path(__file__).resolve().parent.parent / "native" / "liblexcore.so",
-    Path(os.environ.get("LEAN_EXPLORE_LEXCORE", "")),
+    _NATIVE_DIR / "liblexcore.so",
+    *(
+        [Path(os.environ["LEAN_EXPLORE_LEXCORE"])]
+        if os.environ.get("LEAN_EXPLORE_LEXCORE")
+        else []
+    ),
 ]
 
 _lib = None
 _load_attempted = False
+
+
+def _try_build() -> None:
+    """Best-effort in-tree build: the .so is a build artifact (gitignored),
+    so a fresh checkout needs one ``make -C native``. Doing it here keeps
+    the native fast path on for every entry point (serving, bench, MCP)
+    without a separate install step; any failure falls back to numpy."""
+    import subprocess
+
+    if not (_NATIVE_DIR / "Makefile").exists():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR), "liblexcore.so"],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except (OSError, subprocess.TimeoutExpired) as error:
+        logger.info("lexcore build attempt failed: %s", error)
 
 
 def load_lexcore() -> ctypes.CDLL | None:
@@ -34,8 +59,10 @@ def load_lexcore() -> ctypes.CDLL | None:
     _load_attempted = True
     if os.environ.get("LEAN_EXPLORE_NO_NATIVE"):
         return None
+    if not _LIB_CANDIDATES[0].exists():
+        _try_build()
     for candidate in _LIB_CANDIDATES:
-        if not candidate or not candidate.exists():
+        if not candidate.exists():
             continue
         try:
             lib = ctypes.CDLL(str(candidate))
@@ -83,6 +110,12 @@ def _configure(lib: ctypes.CDLL) -> None:
             i64p, f64p,
         ]
         lib.le_dep_boost.restype = None
+    if hasattr(lib, "le_fuzzy_batch"):  # lexcore >= 0.3
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.le_fuzzy_batch.argtypes = [
+            u32p, i64p, u32p, i64p, ctypes.c_int64, f64p,
+        ]
+        lib.le_fuzzy_batch.restype = None
     lib.le_version.restype = ctypes.c_char_p
 
 
@@ -223,6 +256,60 @@ def dep_boost_native(
         _ptr(out_scores, ctypes.c_double),
     )
     return out_ids, out_scores
+
+
+def _pack_utf32(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate strings as a UTF-32 code-point buffer + offsets.
+
+    Repeated strings (e.g. one query against 50 candidate names) are
+    encoded once.
+    """
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    chunks = []
+    encoded: dict[str, np.ndarray] = {}
+    total = 0
+    for i, text in enumerate(texts):
+        raw = encoded.get(text)
+        if raw is None:
+            raw = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            encoded[text] = raw
+        chunks.append(raw)
+        total += len(raw)
+        offsets[i + 1] = total
+    data = (
+        np.concatenate(chunks)
+        if chunks
+        else np.zeros(0, dtype=np.uint32)
+    )
+    return np.ascontiguousarray(data, dtype=np.uint32), offsets
+
+
+def fuzzy_batch_native(
+    a_texts: list[str], b_texts: list[str]
+) -> np.ndarray | None:
+    """Batch difflib-ratio parity scores for aligned (a, b) string pairs;
+    None when the library is unavailable. Inputs must already be normalized
+    (the scoring layer lowercases and maps ./_ to spaces)."""
+    lib = load_lexcore()
+    if lib is None or not hasattr(lib, "le_fuzzy_batch"):
+        return None
+    if len(a_texts) != len(b_texts):
+        raise ValueError("a_texts and b_texts must align")
+    n = len(a_texts)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    a_data, a_off = _pack_utf32(a_texts)
+    b_data, b_off = _pack_utf32(b_texts)
+    lib.le_fuzzy_batch(
+        _ptr(a_data, ctypes.c_uint32),
+        _ptr(a_off, ctypes.c_int64),
+        _ptr(b_data, ctypes.c_uint32),
+        _ptr(b_off, ctypes.c_int64),
+        ctypes.c_int64(n),
+        _ptr(out, ctypes.c_double),
+    )
+    return out
 
 
 def topk_native(

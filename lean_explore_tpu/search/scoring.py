@@ -105,8 +105,35 @@ def fuzzy_name_score(query: str, name: str) -> float:
 def fuzzy_name_scores(query: str, names: list[str]) -> list[float]:
     """Batch fuzzy scores for one query against many names.
 
-    Kept as per-pair SequenceMatcher calls: ratio() is order-sensitive
-    (autojunk applies to the second sequence), so reusing a matcher with the
-    query pinned as seq2 would change results vs the reference.
+    Uses the native lexcore batch scorer when present (exact difflib-ratio
+    semantics, incl. autojunk on the second sequence, verified by parity
+    tests); falls back to per-pair SequenceMatcher calls. Per-pair because
+    ratio() is order-sensitive — autojunk applies to the second sequence,
+    so reusing a matcher with the query pinned as seq2 would change results
+    vs the reference.
     """
-    return [fuzzy_name_score(query, name) for name in names]
+    return fuzzy_name_scores_pairs([query] * len(names), names)
+
+
+def fuzzy_name_scores_pairs(
+    queries: list[str], names: list[str]
+) -> list[float]:
+    """Fuzzy scores for aligned (query, name) pairs — queries may differ.
+
+    The engine batches every query's rerank candidates of a serving step
+    into ONE native call here (thousands of pairs), instead of a Python
+    SequenceMatcher per pair.
+    """
+    if not names:
+        return []
+    from lean_explore_tpu.native import fuzzy_batch_native
+
+    norm_q = [q.lower().translate(_FUZZY_NORM) for q in queries]
+    norm_n = [name.lower().translate(_FUZZY_NORM) for name in names]
+    native = fuzzy_batch_native(norm_q, norm_n)
+    if native is not None:
+        return native.tolist()
+    return [
+        difflib.SequenceMatcher(None, q, n).ratio()
+        for q, n in zip(norm_q, norm_n)
+    ]

@@ -20,8 +20,11 @@
 #include <algorithm>
 #include <cctype>
 #include <cstdint>
+#include <array>
 #include <cstring>
 #include <numeric>
+#include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -259,6 +262,161 @@ void le_dep_boost(const int64_t* top_ids, int64_t n, int64_t top_n,
   }
 }
 
-const char* le_version() { return "lexcore 0.2.0"; }
+}  // extern "C"
+
+// ----------------------------------------------------------------------
+// Fuzzy name scoring: difflib.SequenceMatcher(None, a, b).ratio() parity.
+//
+// Ratcliff-Obershelp over Unicode code points, including difflib's autojunk
+// rule (elements of b occurring in more than 1% of b when len(b) >= 200 are
+// excluded from matching-anchor candidates but can extend a match in the
+// second extension pass). The engine's final fusion calls this for every
+// (query, candidate-name) pair of a batch — thousands of pure-Python
+// SequenceMatcher runs per 128-query step otherwise.
+// ----------------------------------------------------------------------
+
+namespace {
+
+struct B2J {
+    std::unordered_map<uint32_t, std::vector<int32_t>> map;
+    std::unordered_map<uint32_t, bool> popular;  // autojunk set
+};
+
+void build_b2j(const uint32_t* b, int64_t lb, B2J& out) {
+    out.map.clear();
+    out.popular.clear();
+    for (int32_t j = 0; j < lb; ++j) out.map[b[j]].push_back(j);
+    if (lb >= 200) {
+        const int64_t threshold = lb / 100 + 1;
+        for (auto it = out.map.begin(); it != out.map.end();) {
+            if (static_cast<int64_t>(it->second.size()) > threshold) {
+                out.popular[it->first] = true;
+                it = out.map.erase(it);
+            } else {
+                ++it;
+            }
+        }
+    }
+}
+
+inline bool is_popular(const B2J& b2j, uint32_t ch) {
+    return b2j.popular.find(ch) != b2j.popular.end();
+}
+
+struct Match {
+    int32_t i, j, size;
+};
+
+// difflib.SequenceMatcher.find_longest_match, junk-free (None junk fn),
+// autojunk-aware.
+Match longest_match(const uint32_t* a, const uint32_t* b, const B2J& b2j,
+                    int32_t alo, int32_t ahi, int32_t blo, int32_t bhi) {
+    int32_t besti = alo, bestj = blo, bestsize = 0;
+    std::unordered_map<int32_t, int32_t> j2len, newj2len;
+    for (int32_t i = alo; i < ahi; ++i) {
+        newj2len.clear();
+        auto it = b2j.map.find(a[i]);
+        if (it != b2j.map.end()) {
+            for (int32_t j : it->second) {
+                if (j < blo) continue;
+                if (j >= bhi) break;
+                int32_t k = 1;
+                auto prev = j2len.find(j - 1);
+                if (prev != j2len.end()) k = prev->second + 1;
+                newj2len[j] = k;
+                if (k > bestsize) {
+                    besti = i - k + 1;
+                    bestj = j - k + 1;
+                    bestsize = k;
+                }
+            }
+        }
+        std::swap(j2len, newj2len);
+    }
+    // Extend with non-popular elements, then with popular ones — the two
+    // extension passes of difflib (junk fn is None here, so "junk" means
+    // the autojunk popular set only).
+    while (besti > alo && bestj > blo && !is_popular(b2j, b[bestj - 1]) &&
+           a[besti - 1] == b[bestj - 1]) {
+        --besti;
+        --bestj;
+        ++bestsize;
+    }
+    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+           !is_popular(b2j, b[bestj + bestsize]) &&
+           a[besti + bestsize] == b[bestj + bestsize]) {
+        ++bestsize;
+    }
+    while (besti > alo && bestj > blo && is_popular(b2j, b[bestj - 1]) &&
+           a[besti - 1] == b[bestj - 1]) {
+        --besti;
+        --bestj;
+        ++bestsize;
+    }
+    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+           is_popular(b2j, b[bestj + bestsize]) &&
+           a[besti + bestsize] == b[bestj + bestsize]) {
+        ++bestsize;
+    }
+    return {besti, bestj, bestsize};
+}
+
+double ratio_one(const uint32_t* a, int64_t la, const uint32_t* b, int64_t lb) {
+    if (la + lb == 0) return 1.0;  // difflib: 2*0/0 -> its _calculate_ratio
+    B2J b2j;
+    build_b2j(b, lb, b2j);
+    int64_t matches = 0;
+    std::vector<std::array<int32_t, 4>> queue{
+        {0, static_cast<int32_t>(la), 0, static_cast<int32_t>(lb)}};
+    while (!queue.empty()) {
+        auto [alo, ahi, blo, bhi] = queue.back();
+        queue.pop_back();
+        Match m = longest_match(a, b, b2j, alo, ahi, blo, bhi);
+        if (m.size) {
+            matches += m.size;
+            if (alo < m.i && blo < m.j) queue.push_back({alo, m.i, blo, m.j});
+            if (m.i + m.size < ahi && m.j + m.size < bhi)
+                queue.push_back({m.i + m.size, ahi, m.j + m.size, bhi});
+        }
+    }
+    return 2.0 * static_cast<double>(matches) / static_cast<double>(la + lb);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch fuzzy ratios. Sequences are UTF-32 code points, concatenated:
+//   a_data/b_data   code-point buffers
+//   a_offsets       [n + 1] offsets into a_data (pair p = [off[p], off[p+1]))
+//   b_offsets       [n + 1] offsets into b_data
+//   out             [n] ratios
+// Pairs are split across up to 8 threads (pure C++, no GIL).
+void le_fuzzy_batch(const uint32_t* a_data, const int64_t* a_offsets,
+                    const uint32_t* b_data, const int64_t* b_offsets,
+                    int64_t n, double* out) {
+    const int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+    // Thread spawns cost ~50us each; a 50-pair call (one query's rerank
+    // candidates) is faster inline than fanned out.
+    const int64_t n_threads =
+        n < 512 ? 1
+                : std::max<int64_t>(1, std::min<int64_t>({8, hw, n / 64}));
+    auto worker = [&](int64_t t) {
+        for (int64_t p = t; p < n; p += n_threads) {
+            out[p] = ratio_one(a_data + a_offsets[p], a_offsets[p + 1] - a_offsets[p],
+                               b_data + b_offsets[p], b_offsets[p + 1] - b_offsets[p]);
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+}
+
+const char* le_version() { return "lexcore 0.3.0"; }
 
 }  // extern "C"

@@ -185,3 +185,43 @@ class TestNativeFusion:
             )
             assert got_ids.tolist() == [i for i, _ in want], trial
             assert got_scores.tolist() == [s for _, s in want], trial
+
+
+class TestFuzzyNative:
+    def test_ratio_parity_with_difflib(self):
+        import difflib
+        import random
+
+        from lean_explore_tpu.native import fuzzy_batch_native
+
+        rng = random.Random(7)
+        alphabet = "nat add mul lst map real sqrt topology πλ'"
+        pairs = []
+        for _ in range(300):
+            a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            pairs.append((a, b))
+        # Autojunk regime: second sequence >= 200 chars with popular chars.
+        for _ in range(20):
+            a = "".join(rng.choice("abcde .") for _ in range(rng.randint(5, 60)))
+            b = "".join(rng.choice("abcde .") for _ in range(rng.randint(200, 400)))
+            pairs.append((a, b))
+        pairs.append(("", ""))
+        pairs.append(("x", ""))
+        pairs.append(("", "y"))
+        got = fuzzy_batch_native([a for a, _ in pairs], [b for _, b in pairs])
+        if got is None:
+            import pytest
+
+            pytest.skip("lexcore unavailable")
+        for (a, b), score in zip(pairs, got.tolist()):
+            want = difflib.SequenceMatcher(None, a, b).ratio()
+            assert score == want, (a, b, score, want)
+
+    def test_scoring_layer_uses_native_consistently(self):
+        from lean_explore_tpu.search import scoring
+
+        names = ["Nat.add", "Nat.add_comm", "List.map", "Real.sqrt'", "ℝ.measure"]
+        batch = scoring.fuzzy_name_scores("nat add", names)
+        singles = [scoring.fuzzy_name_score("nat add", n) for n in names]
+        assert batch == singles
