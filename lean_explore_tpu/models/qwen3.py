@@ -402,6 +402,395 @@ def rerank_scores(
     return jax.nn.softmax(pair, axis=1)[:, 1]
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def prefix_kv(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward a batch of shared pair prefixes, returning per-layer K/V.
+
+    A rerank step scores ~50 documents per query, and every pair shares the
+    identical ``<Instruct>+<Query>+<Document>:`` token prefix (reference
+    reranker_client.py:96-108) — recomputing it per document is pure waste.
+    This runs the trunk once over the prefixes and collects the post-RoPE,
+    post-norm K and V of every layer, which ``rerank_scores_grouped`` then
+    attends to from the much shorter document suffixes.
+
+    Args:
+        input_ids: [G, P] right-padded prefix tokens (one row per query).
+        attention_mask: [G, P] 0/1 validity.
+
+    Returns:
+        (k, v), each [L, G, P, NKV, DH] in the param dtype.
+    """
+    batch, seq = input_ids.shape
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    cos, sin = _rope_tables(config, seq)
+    causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+    valid_key = attention_mask.astype(bool)[:, None, None, :]
+    bias = jnp.where(causal[None, None] & valid_key, 0.0, -1e9).astype(jnp.float32)
+
+    nq, nkv, dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    eps = config.rms_norm_eps
+
+    def layer(x, p):
+        h = _rms_norm(x, p["input_norm"], eps)
+        q = (h @ p["q_proj"]).reshape(batch, seq, nq, dh)
+        k = (h @ p["k_proj"]).reshape(batch, seq, nkv, dh)
+        v = (h @ p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q = _rms_norm(q, p["q_norm"], eps)
+        k = _rms_norm(k, p["k_norm"], eps)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        attn_out = _attention(q, k, v, bias)
+        x = x + attn_out @ p["o_proj"]
+        h = _rms_norm(x, p["post_norm"], eps)
+        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        return x + mlp, (k, v)
+
+    _, (ks, vs) = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
+    return ks, vs
+
+
+def _suffix_attention(
+    q: jnp.ndarray,
+    pk: jnp.ndarray,
+    pv: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Attention of suffix queries over [prefix-KV ‖ suffix-KV].
+
+    q: [D, S, NQ, DH]; pk/pv: [P, NKV, DH] (shared across the D documents —
+    broadcast in the einsum, never materialized per row); k/v: [D, S, NKV, DH];
+    bias: [D, 1, S, P+S].
+    """
+    d, s, nq, dh = q.shape
+    p = pk.shape[0]
+    nkv = k.shape[2]
+    group = nq // nkv
+    qg = q.reshape(d, s, nkv, group, dh)
+    scores_p = jnp.einsum(
+        "dtkge,pke->dkgtp", qg, pk, preferred_element_type=jnp.float32
+    )
+    scores_s = jnp.einsum(
+        "dtkge,duke->dkgtu", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = jnp.concatenate([scores_p, scores_s], axis=-1) * (dh**-0.5)
+    scores = scores + bias[:, :, None, :, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out_p = jnp.einsum("dkgtp,pke->dtkge", probs[..., :p], pv)
+    out_s = jnp.einsum("dkgtu,duke->dtkge", probs[..., p:], v)
+    return (out_p + out_s).reshape(d, s, nq * dh)
+
+
+def _suffix_forward_scores(
+    params: dict,
+    config: Qwen3Config,
+    pk_g: jnp.ndarray,
+    pv_g: jnp.ndarray,
+    prefix_mask: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    pos_offset: jnp.ndarray,
+    cos_full: jnp.ndarray,
+    sin_full: jnp.ndarray,
+    token_true: int,
+    token_false: int,
+) -> jnp.ndarray:
+    """One query group: suffixes [D, S] attend cached prefix KV [L, P]."""
+    d, s = input_ids.shape
+    nq, nkv, dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    eps = config.rms_norm_eps
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    # Suffix token t sits at absolute position pos_offset + t, exactly where
+    # it would be in the unsplit pair forward.
+    cos = lax.dynamic_slice_in_dim(cos_full, pos_offset, s, axis=0)
+    sin = lax.dynamic_slice_in_dim(sin_full, pos_offset, s, axis=0)
+
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    valid_suffix = attention_mask.astype(bool)[:, None, None, :]  # [D,1,1,S]
+    bias_s = jnp.where(causal[None, None] & valid_suffix, 0.0, -1e9)
+    bias_p = jnp.where(prefix_mask.astype(bool)[None, None, None, :], 0.0, -1e9)
+    bias = jnp.concatenate(
+        [jnp.broadcast_to(bias_p, (d, 1, s, prefix_mask.shape[0])), bias_s],
+        axis=-1,
+    ).astype(jnp.float32)
+
+    def layer(x, scanned):
+        p, pk, pv = scanned
+        h = _rms_norm(x, p["input_norm"], eps)
+        q = (h @ p["q_proj"]).reshape(d, s, nq, dh)
+        k = (h @ p["k_proj"]).reshape(d, s, nkv, dh)
+        v = (h @ p["v_proj"]).reshape(d, s, nkv, dh)
+        q = _rms_norm(q, p["q_norm"], eps)
+        k = _rms_norm(k, p["k_norm"], eps)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        attn_out = _suffix_attention(q, pk, pv, k, v, bias)
+        x = x + attn_out @ p["o_proj"]
+        h = _rms_norm(x, p["post_norm"], eps)
+        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        return x + mlp, None
+
+    x, _ = lax.scan(layer, x, (params["layers"], pk_g, pv_g))
+    hidden = _rms_norm(x, params["final_norm"], eps)
+    last = _last_valid_index(attention_mask)
+    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+    logits = _lm_head(params, pooled)
+    pair = jnp.stack([logits[:, token_false], logits[:, token_true]], axis=1)
+    return jax.nn.softmax(pair, axis=1)[:, 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "token_true", "token_false")
+)
+def rerank_scores_grouped(
+    params: dict,
+    config: Qwen3Config,
+    pk: jnp.ndarray,
+    pv: jnp.ndarray,
+    prefix_mask: jnp.ndarray,
+    suffix_ids: jnp.ndarray,
+    suffix_mask: jnp.ndarray,
+    pos_offset: jnp.ndarray,
+    *,
+    token_true: int,
+    token_false: int,
+) -> jnp.ndarray:
+    """P("true") for G query groups of D document suffixes each: -> [G, D].
+
+    Args:
+        pk/pv: [L, G, P, NKV, DH] from ``prefix_kv``.
+        prefix_mask: [G, P].
+        suffix_ids/suffix_mask: [G, D, S] right-padded document suffixes.
+        pos_offset: [G] int32 — each group's true (unpadded) prefix length.
+
+    The outer ``lax.scan`` walks query groups so peak memory is one group's
+    activations regardless of G; the prefix KV for group g is dynamic-sliced
+    out of the stacked cache (no per-document gather ever materializes).
+    """
+    g, d, s = suffix_ids.shape
+    pmax = pk.shape[2]
+    cos_full, sin_full = _rope_tables(config, pmax + s)
+
+    def one(idx, xs):
+        ids, mask, off = xs
+        pk_g = lax.dynamic_index_in_dim(pk, idx, axis=1, keepdims=False)
+        pv_g = lax.dynamic_index_in_dim(pv, idx, axis=1, keepdims=False)
+        pmask_g = lax.dynamic_index_in_dim(
+            prefix_mask, idx, axis=0, keepdims=False
+        )
+        scores = _suffix_forward_scores(
+            params,
+            config,
+            pk_g,
+            pv_g,
+            pmask_g,
+            ids,
+            mask,
+            off,
+            cos_full,
+            sin_full,
+            token_true,
+            token_false,
+        )
+        return idx + 1, scores
+
+    _, out = lax.scan(one, 0, (suffix_ids, suffix_mask, pos_offset))
+    return out
+
+
+def _suffix_attention_rows(
+    q: jnp.ndarray,
+    pk: jnp.ndarray,
+    pv: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Suffix attention where every row carries its own prefix KV.
+
+    q: [C, S, NQ, DH]; pk/pv: [C, P, NKV, DH] (row-gathered); k/v:
+    [C, S, NKV, DH]; bias: [C, 1, S, P+S].
+    """
+    c, s, nq, dh = q.shape
+    p = pk.shape[1]
+    nkv = k.shape[2]
+    group = nq // nkv
+    qg = q.reshape(c, s, nkv, group, dh)
+    scores_p = jnp.einsum(
+        "ctkge,cpke->ckgtp", qg, pk, preferred_element_type=jnp.float32
+    )
+    scores_s = jnp.einsum(
+        "ctkge,cuke->ckgtu", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = jnp.concatenate([scores_p, scores_s], axis=-1) * (dh**-0.5)
+    scores = scores + bias[:, :, None, :, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out_p = jnp.einsum("ckgtp,cpke->ctkge", probs[..., :p], pv)
+    out_s = jnp.einsum("ckgtu,cuke->ctkge", probs[..., p:], v)
+    return (out_p + out_s).reshape(c, s, nq * dh)
+
+
+def _suffix_forward_flat(
+    params: dict,
+    config: Qwen3Config,
+    pk: jnp.ndarray,
+    pv: jnp.ndarray,
+    prefix_mask: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    group_idx: jnp.ndarray,
+    pos_offset: jnp.ndarray,
+    cos_full: jnp.ndarray,
+    sin_full: jnp.ndarray,
+    token_true: int,
+    token_false: int,
+) -> jnp.ndarray:
+    """One chunk of [C, S] suffix rows, each attending its group's prefix."""
+    c, s = input_ids.shape
+    nq, nkv, dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    eps = config.rms_norm_eps
+
+    pk_rows = jnp.take(pk, group_idx, axis=1)  # [L, C, P, K, E]
+    pv_rows = jnp.take(pv, group_idx, axis=1)
+    pmask_rows = jnp.take(prefix_mask, group_idx, axis=0)  # [C, P]
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    pos = pos_offset[:, None] + jnp.arange(s)[None, :]  # [C, S]
+    cos = cos_full[pos]  # [C, S, DH]
+    sin = sin_full[pos]
+
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    valid_suffix = attention_mask.astype(bool)[:, None, None, :]
+    bias_s = jnp.where(causal[None, None] & valid_suffix, 0.0, -1e9)
+    bias_p = jnp.where(
+        pmask_rows.astype(bool)[:, None, None, :], 0.0, -1e9
+    )  # [C, 1, 1, P]
+    bias = jnp.concatenate(
+        [jnp.broadcast_to(bias_p, (c, 1, s, pmask_rows.shape[1])), bias_s],
+        axis=-1,
+    ).astype(jnp.float32)
+
+    def rope_rows(t):
+        return t * cos[:, :, None, :].astype(t.dtype) + _rotate_half(t) * sin[
+            :, :, None, :
+        ].astype(t.dtype)
+
+    def layer(x, scanned):
+        p, pk_l, pv_l = scanned
+        h = _rms_norm(x, p["input_norm"], eps)
+        q = (h @ p["q_proj"]).reshape(c, s, nq, dh)
+        k = (h @ p["k_proj"]).reshape(c, s, nkv, dh)
+        v = (h @ p["v_proj"]).reshape(c, s, nkv, dh)
+        q = _rms_norm(q, p["q_norm"], eps)
+        k = _rms_norm(k, p["k_norm"], eps)
+        q = rope_rows(q)
+        k = rope_rows(k)
+        attn_out = _suffix_attention_rows(q, pk_l, pv_l, k, v, bias)
+        x = x + attn_out @ p["o_proj"]
+        h = _rms_norm(x, p["post_norm"], eps)
+        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        return x + mlp, None
+
+    x, _ = lax.scan(layer, x, (params["layers"], pk_rows, pv_rows))
+    hidden = _rms_norm(x, params["final_norm"], eps)
+    last = _last_valid_index(attention_mask)
+    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+    logits = _lm_head(params, pooled)
+    pair = jnp.stack([logits[:, token_false], logits[:, token_true]], axis=1)
+    return jax.nn.softmax(pair, axis=1)[:, 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "token_true", "token_false", "chunk"),
+)
+def rerank_scores_prefixed_flat(
+    params: dict,
+    config: Qwen3Config,
+    pk: jnp.ndarray,
+    pv: jnp.ndarray,
+    prefix_mask: jnp.ndarray,
+    suffix_ids: jnp.ndarray,
+    suffix_mask: jnp.ndarray,
+    group_idx: jnp.ndarray,
+    pos_offset: jnp.ndarray,
+    *,
+    token_true: int,
+    token_false: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """P("true") for a FLAT batch of suffix rows with shared-prefix KV: [B].
+
+    The grouped variant (rerank_scores_grouped) walks one query group per
+    scan step — D≈50 rows of short suffixes per matmul, which measured ~34%
+    MFU at the 0.6B serving geometry. This flat form packs rows from many
+    groups into `chunk`-row steps (the per-row prefix KV is gathered by
+    group_idx — ~30 ms of HBM traffic per 6400-pair batch vs seconds of
+    compute), so the MXU sees chunk×S tokens per step regardless of group
+    fan-out, and document counts per query never pad up.
+
+    Args:
+        pk/pv: [L, G, P, NKV, DH] from ``prefix_kv`` over all G queries.
+        suffix_ids/suffix_mask: [B, S], B % chunk == 0 (caller pads).
+        group_idx: [B] int32 row -> query group.
+        pos_offset: [B] int32 true prefix length of the row's group.
+    """
+    b, s = suffix_ids.shape
+    pmax = pk.shape[2]
+    cos_full, sin_full = _rope_tables(config, pmax + s)
+    nc = b // chunk
+
+    def one(_, xs):
+        ids, mask, gidx, off = xs
+        scores = _suffix_forward_flat(
+            params,
+            config,
+            pk,
+            pv,
+            prefix_mask,
+            ids,
+            mask,
+            gidx,
+            off,
+            cos_full,
+            sin_full,
+            token_true,
+            token_false,
+        )
+        return None, scores
+
+    _, out = lax.scan(
+        one,
+        None,
+        (
+            suffix_ids.reshape(nc, chunk, s),
+            suffix_mask.reshape(nc, chunk, s),
+            group_idx.reshape(nc, chunk),
+            pos_offset.reshape(nc, chunk),
+        ),
+    )
+    return out.reshape(b)
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "token_true", "token_false")
 )

@@ -227,6 +227,179 @@ class RerankerClient:
     ) -> list[float]:
         return await asyncio.to_thread(self.rerank_pairs_sync, queries, documents)
 
+    # ------------------------------------------------------------------
+    # Shared-prefix KV path
+    # ------------------------------------------------------------------
+
+    MIN_SHARED_PREFIX = 4  # tokens; below this the split costs more than it saves
+
+    def rerank_grouped_sync(
+        self, queries: list[str], docs_grouped: list[list[str]]
+    ) -> list[list[float]]:
+        """Score each query's documents with shared-prefix KV reuse.
+
+        Every pair of a query shares the identical
+        ``<Instruct>+<Query>+<Document>:`` token prefix (reference
+        reranker_client.py:96-108); the flat path recomputes it once per
+        document — at rerank_top=50 that is 50x redundant trunk work on the
+        longest part of the pair. Here the shared prefix (computed as the
+        longest common *token* prefix across the group, so BPE boundary
+        merges can never desync it) runs once per query through
+        ``prefix_kv``; document suffixes run as a [D, S] batch attending to
+        the cached prefix, with RoPE positions offset to their true location
+        in the unsplit pair. Scores are numerically the full forward's (same
+        positions, same visible keys); a parity test pins this.
+
+        Disable with LEAN_EXPLORE_RERANK_PREFIX=0 (falls back to the flat
+        cross-query path).
+        """
+        if len(queries) != len(docs_grouped):
+            raise ValueError("queries and docs_grouped must align")
+        if os.getenv("LEAN_EXPLORE_RERANK_PREFIX", "1") == "0":
+            flat_q = [
+                q for q, docs in zip(queries, docs_grouped) for _ in docs
+            ]
+            flat_d = [d for docs in docs_grouped for d in docs]
+            flat = self.rerank_pairs_sync(flat_q, flat_d)
+            out, start = [], 0
+            for docs in docs_grouped:
+                out.append(flat[start : start + len(docs)])
+                start += len(docs)
+            return out
+
+        from lean_explore_tpu.models.tokenizer import bucket_batch, bucket_length
+
+        results: list[list[float]] = [[] for _ in queries]
+        # group records: (out_idx, shared_len, suffix_token_lists)
+        records: list[tuple[int, int, list[list[int]]]] = []
+        fallback_q: list[str] = []
+        fallback_d: list[str] = []
+        fallback_slots: list[tuple[int, int]] = []  # (group, position)
+
+        for gi, (query, docs) in enumerate(zip(queries, docs_grouped)):
+            if not docs:
+                continue
+            pairs = [self._format_pair(query, d) for d in docs]
+            token_lists = self.tokenizer(
+                pairs, truncation=True, max_length=self.max_length
+            )["input_ids"]
+            shared = len(token_lists[0])
+            for row in token_lists[1:]:
+                limit = min(shared, len(row))
+                i = 0
+                while i < limit and row[i] == token_lists[0][i]:
+                    i += 1
+                shared = i
+            shared = min(shared, min(len(row) for row in token_lists) - 1)
+            if shared < self.MIN_SHARED_PREFIX:
+                for pos, (q, d) in enumerate(zip([query] * len(docs), docs)):
+                    fallback_q.append(q)
+                    fallback_d.append(d)
+                    fallback_slots.append((gi, pos))
+                results[gi] = [0.0] * len(docs)
+                continue
+            records.append(
+                (gi, shared, [row[shared:] for row in token_lists])
+            )
+
+        pad_id = self.tokenizer.pad_token_id
+        if pad_id is None:
+            pad_id = self.tokenizer.eos_token_id or 0
+
+        if records:
+            # ONE prefix forward covers every query of the batch.
+            g_pad = bucket_batch(len(records))
+            p_pad = bucket_length(max(r[1] for r in records), self.max_length)
+            prefix_ids = np.full((g_pad, p_pad), pad_id, dtype=np.int32)
+            prefix_mask = np.zeros((g_pad, p_pad), dtype=np.int32)
+            prefix_len = np.zeros((g_pad,), dtype=np.int32)
+            for row, (gi, shared, _suffixes) in enumerate(records):
+                # Prefix tokens are identical across the group's pairs by
+                # construction; re-tokenize once from the first pair.
+                pair0 = self._format_pair(queries[gi], docs_grouped[gi][0])
+                head = self.tokenizer(
+                    pair0, truncation=True, max_length=self.max_length
+                )["input_ids"][:shared]
+                prefix_ids[row, :shared] = head
+                prefix_mask[row, :shared] = 1
+                prefix_len[row] = shared
+            prefix_mask[len(records) :, 0] = 1
+
+            pk, pv = qwen3_mod.prefix_kv(
+                self.params,
+                self.config,
+                jnp.asarray(prefix_ids),
+                jnp.asarray(prefix_mask),
+            )
+            prefix_mask_dev = jnp.asarray(prefix_mask)
+
+            # Flat suffix rows: (group row, doc position, tokens). Rows are
+            # partitioned by suffix-length bucket so short informalizations
+            # never pad to one outlier's length, then packed into
+            # `chunk`-row device steps regardless of which query they
+            # belong to — document counts per query never pad up.
+            flat: list[tuple[int, int, int, list[int]]] = []
+            for row, (gi, _shared, suffixes) in enumerate(records):
+                for di, sfx in enumerate(suffixes):
+                    flat.append((row, gi, di, sfx))
+            by_bucket: dict[int, list[tuple[int, int, int, list[int]]]] = {}
+            for item in flat:
+                s_bucket = bucket_length(len(item[3]), self.max_length)
+                by_bucket.setdefault(s_bucket, []).append(item)
+
+            fetches = []
+            for s_bucket, items in sorted(by_bucket.items()):
+                chunk = min(256, bucket_batch(len(items)))
+                b_pad = ((len(items) + chunk - 1) // chunk) * chunk
+                suffix_ids = np.full((b_pad, s_bucket), pad_id, dtype=np.int32)
+                suffix_mask = np.zeros((b_pad, s_bucket), dtype=np.int32)
+                group_idx = np.zeros((b_pad,), dtype=np.int32)
+                pos_offset = np.zeros((b_pad,), dtype=np.int32)
+                for b, (row, _gi, _di, sfx) in enumerate(items):
+                    sfx = sfx[:s_bucket]
+                    suffix_ids[b, : len(sfx)] = sfx
+                    suffix_mask[b, : len(sfx)] = 1
+                    group_idx[b] = row
+                    pos_offset[b] = prefix_len[row]
+                # Pad rows keep one valid token so softmax and pooling
+                # indices stay benign; their scores are discarded.
+                suffix_mask[len(items) :, 0] = 1
+                scores = qwen3_mod.rerank_scores_prefixed_flat(
+                    self.params,
+                    self.config,
+                    pk,
+                    pv,
+                    prefix_mask_dev,
+                    jnp.asarray(suffix_ids),
+                    jnp.asarray(suffix_mask),
+                    jnp.asarray(group_idx),
+                    jnp.asarray(pos_offset),
+                    token_true=int(self.token_true_id),
+                    token_false=int(self.token_false_id),
+                    chunk=chunk,
+                )
+                fetches.append((items, scores))
+
+            for gi, _shared, suffixes in records:
+                results[gi] = [0.0] * len(suffixes)
+            for items, scores in fetches:
+                host = np.asarray(scores)
+                for b, (_row, gi, di, _sfx) in enumerate(items):
+                    results[gi][di] = float(host[b])
+
+        if fallback_q:
+            flat = self.rerank_pairs_sync(fallback_q, fallback_d)
+            for (gi, pos), score in zip(fallback_slots, flat):
+                results[gi][pos] = score
+        return results
+
+    async def rerank_grouped(
+        self, queries: list[str], docs_grouped: list[list[str]]
+    ) -> list[list[float]]:
+        return await asyncio.to_thread(
+            self.rerank_grouped_sync, queries, docs_grouped
+        )
+
     async def rerank(
         self,
         query: str,

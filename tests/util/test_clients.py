@@ -113,6 +113,117 @@ class TestRerankerClient:
         np.testing.assert_allclose(resp.scores[0], float(want[0]), atol=1e-6)
 
 
+class TestRerankerPrefixKV:
+    """Shared-prefix KV reuse must score identically to the flat path."""
+
+    def test_grouped_matches_flat(self, reranker_client):
+        queries = ["addition of natural numbers", "topology open sets", "x"]
+        docs_grouped = [
+            [
+                "Nat.add: the sum of two natural numbers",
+                "Nat.mul: the product",
+                "List.map: applies a function to every element of a list",
+            ],
+            ["IsOpen: a set is open", "Continuous: preimages of opens"],
+            ["single document only"],
+        ]
+        grouped = reranker_client.rerank_grouped_sync(queries, docs_grouped)
+        for q, docs, scores in zip(queries, docs_grouped, grouped):
+            flat = reranker_client.rerank_pairs_sync([q] * len(docs), docs)
+            np.testing.assert_allclose(scores, flat, atol=1e-4)
+
+    def test_empty_group_and_alignment(self, reranker_client):
+        grouped = reranker_client.rerank_grouped_sync(
+            ["a", "b"], [[], ["doc one", "doc two"]]
+        )
+        assert grouped[0] == []
+        assert len(grouped[1]) == 2
+
+    def test_env_disable_falls_back(self, reranker_client, monkeypatch):
+        monkeypatch.setenv("LEAN_EXPLORE_RERANK_PREFIX", "0")
+        grouped = reranker_client.rerank_grouped_sync(
+            ["sum of numbers"], [["Nat.add: addition", "prime numbers"]]
+        )
+        flat = reranker_client.rerank_pairs_sync(
+            ["sum of numbers"] * 2, ["Nat.add: addition", "prime numbers"]
+        )
+        np.testing.assert_allclose(grouped[0], flat, atol=1e-6)
+
+    def test_model_level_exactness(self, reranker_client):
+        """Grouped forward == full-sequence forward on constructed tokens."""
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.models import qwen3
+
+        params, config = reranker_client.params, reranker_client.config
+        rng = np.random.default_rng(0)
+        g, d, p_len, s_len = 2, 3, 5, 4
+        vocab = config.vocab_size
+        prefix = rng.integers(1, vocab, size=(g, p_len)).astype(np.int32)
+        suffix = rng.integers(1, vocab, size=(g, d, s_len)).astype(np.int32)
+        # Ragged suffix validity: doc di in group gi has s_len - di tokens.
+        suffix_mask = np.zeros((g, d, s_len), dtype=np.int32)
+        for gi in range(g):
+            for di in range(d):
+                suffix_mask[gi, di, : s_len - di] = 1
+        prefix_mask = np.ones((g, p_len), dtype=np.int32)
+
+        pk, pv = qwen3.prefix_kv(
+            params, config, jnp.asarray(prefix), jnp.asarray(prefix_mask)
+        )
+        got = np.asarray(
+            qwen3.rerank_scores_grouped(
+                params,
+                config,
+                pk,
+                pv,
+                jnp.asarray(prefix_mask),
+                jnp.asarray(suffix),
+                jnp.asarray(suffix_mask),
+                jnp.asarray(np.full((g,), p_len, dtype=np.int32)),
+                token_true=reranker_client.token_true_id,
+                token_false=reranker_client.token_false_id,
+            )
+        )
+        # Flat variant: same pairs as one row-major flat batch (chunk=4,
+        # so the 6 rows span two scan steps and group gathers cross chunks).
+        flat_scores = np.asarray(
+            qwen3.rerank_scores_prefixed_flat(
+                params,
+                config,
+                pk,
+                pv,
+                jnp.asarray(prefix_mask),
+                jnp.asarray(suffix.reshape(g * d, s_len)),
+                jnp.asarray(suffix_mask.reshape(g * d, s_len)),
+                jnp.asarray(np.repeat(np.arange(g), d).astype(np.int32)),
+                jnp.asarray(np.full((g * d,), p_len, dtype=np.int32)),
+                token_true=reranker_client.token_true_id,
+                token_false=reranker_client.token_false_id,
+                chunk=2,
+            )
+        ).reshape(g, d)
+
+        for gi in range(g):
+            for di in range(d):
+                n_sfx = int(suffix_mask[gi, di].sum())
+                full = np.concatenate([prefix[gi], suffix[gi, di, :n_sfx]])
+                ids = full[None, :].astype(np.int32)
+                mask = np.ones_like(ids)
+                want = float(
+                    qwen3.rerank_scores(
+                        params,
+                        config,
+                        jnp.asarray(ids),
+                        jnp.asarray(mask),
+                        token_true=reranker_client.token_true_id,
+                        token_false=reranker_client.token_false_id,
+                    )[0]
+                )
+                np.testing.assert_allclose(got[gi, di], want, atol=1e-5)
+                np.testing.assert_allclose(flat_scores[gi, di], want, atol=1e-5)
+
+
 class TestRemoteEmbeddingClient:
     def test_post_contract(self, monkeypatch):
         from lean_explore_tpu.util import RemoteEmbeddingClient
