@@ -363,6 +363,24 @@ def _lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     return (hidden.astype(jnp.float32) @ head.astype(jnp.float32))
 
 
+def _pair_logits(
+    params: dict, hidden: jnp.ndarray, token_false: int, token_true: int
+) -> jnp.ndarray:
+    """Logits at exactly (false, true) -> [B, 2] (f32).
+
+    Reranker scoring only reads two vocabulary columns; slicing the head
+    before the matmul replaces a [B, V] f32 GEMM (~2 TFLOP per 6400-pair
+    batch at the 151k Qwen3 vocab, on the TPU's slow f32 path) with a
+    [B, H]x[H, 2] sliver. Column-exact: each logit is the same dot product.
+    """
+    head = params.get("lm_head")
+    if head is None:
+        cols = params["embed"][jnp.array([token_false, token_true])].T
+    else:
+        cols = head[:, jnp.array([token_false, token_true])]
+    return hidden.astype(jnp.float32) @ cols.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def last_token_logits(
     params: dict,
@@ -394,11 +412,12 @@ def rerank_scores(
     """P("true") from the last-token true/false logits [B] (f32).
 
     Softmax over the two logits, exactly the reference's scoring
-    (reranker_client.py:129-138)."""
-    logits = last_token_logits(params, config, input_ids, attention_mask)
-    pair = jnp.stack(
-        [logits[:, token_false], logits[:, token_true]], axis=1
-    )
+    (reranker_client.py:129-138). Only the two scored vocabulary columns
+    are computed (_pair_logits)."""
+    hidden = forward_hidden(params, config, input_ids, attention_mask)
+    last = _last_valid_index(attention_mask)
+    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
+    pair = _pair_logits(params, pooled, token_false, token_true)
     return jax.nn.softmax(pair, axis=1)[:, 1]
 
 
@@ -468,34 +487,34 @@ def _suffix_attention(
 ) -> jnp.ndarray:
     """Attention of suffix queries over [prefix-KV ‖ suffix-KV].
 
-    q: [D, S, NQ, DH]; pk/pv: [P, NKV, DH] (shared across the D documents —
-    broadcast in the einsum, never materialized per row); k/v: [D, S, NKV, DH];
-    bias: [D, 1, S, P+S].
+    q: [C, D, S, NQ, DH]; pk/pv: [C, P, NKV, DH] (shared across each group's
+    D documents — broadcast in the einsum, never materialized per row);
+    k/v: [C, D, S, NKV, DH]; bias: [C, D, 1, 1, S, P+S].
     """
-    d, s, nq, dh = q.shape
-    p = pk.shape[0]
-    nkv = k.shape[2]
+    c, d, s, nq, dh = q.shape
+    p = pk.shape[1]
+    nkv = k.shape[3]
     group = nq // nkv
-    qg = q.reshape(d, s, nkv, group, dh)
+    qg = q.reshape(c, d, s, nkv, group, dh)
     scores_p = jnp.einsum(
-        "dtkge,pke->dkgtp", qg, pk, preferred_element_type=jnp.float32
+        "cdtkge,cpke->cdkgtp", qg, pk, preferred_element_type=jnp.float32
     )
     scores_s = jnp.einsum(
-        "dtkge,duke->dkgtu", qg, k, preferred_element_type=jnp.float32
+        "cdtkge,cduke->cdkgtu", qg, k, preferred_element_type=jnp.float32
     )
     scores = jnp.concatenate([scores_p, scores_s], axis=-1) * (dh**-0.5)
-    scores = scores + bias[:, :, None, :, :]
+    scores = scores + bias[:, :, :, None, :, :]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out_p = jnp.einsum("dkgtp,pke->dtkge", probs[..., :p], pv)
-    out_s = jnp.einsum("dkgtu,duke->dtkge", probs[..., p:], v)
-    return (out_p + out_s).reshape(d, s, nq * dh)
+    out_p = jnp.einsum("cdkgtp,cpke->cdtkge", probs[..., :p], pv)
+    out_s = jnp.einsum("cdkgtu,cduke->cdtkge", probs[..., p:], v)
+    return (out_p + out_s).reshape(c, d, s, nq * dh)
 
 
 def _suffix_forward_scores(
     params: dict,
     config: Qwen3Config,
-    pk_g: jnp.ndarray,
-    pv_g: jnp.ndarray,
+    pk_c: jnp.ndarray,
+    pv_c: jnp.ndarray,
     prefix_mask: jnp.ndarray,
     input_ids: jnp.ndarray,
     attention_mask: jnp.ndarray,
@@ -505,8 +524,9 @@ def _suffix_forward_scores(
     token_true: int,
     token_false: int,
 ) -> jnp.ndarray:
-    """One query group: suffixes [D, S] attend cached prefix KV [L, P]."""
-    d, s = input_ids.shape
+    """A chunk of C query groups: suffixes [C, D, S] attend prefix KV
+    [L, C, P] (each group's D documents share its prefix by broadcast)."""
+    c, d, s = input_ids.shape
     nq, nkv, dh = (
         config.num_attention_heads,
         config.num_key_value_heads,
@@ -517,45 +537,58 @@ def _suffix_forward_scores(
     x = jnp.take(params["embed"], input_ids, axis=0)
     # Suffix token t sits at absolute position pos_offset + t, exactly where
     # it would be in the unsplit pair forward.
-    cos = lax.dynamic_slice_in_dim(cos_full, pos_offset, s, axis=0)
-    sin = lax.dynamic_slice_in_dim(sin_full, pos_offset, s, axis=0)
+    pos = pos_offset[:, None] + jnp.arange(s)[None, :]  # [C, S]
+    cos = cos_full[pos]  # [C, S, DH]
+    sin = sin_full[pos]
+
+    def rope(t):  # t: [C, D, S, N, DH]
+        cc = cos[:, None, :, None, :].astype(t.dtype)
+        ss = sin[:, None, :, None, :].astype(t.dtype)
+        return t * cc + _rotate_half(t) * ss
 
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))
-    valid_suffix = attention_mask.astype(bool)[:, None, None, :]  # [D,1,1,S]
-    bias_s = jnp.where(causal[None, None] & valid_suffix, 0.0, -1e9)
-    bias_p = jnp.where(prefix_mask.astype(bool)[None, None, None, :], 0.0, -1e9)
+    valid_suffix = attention_mask.astype(bool)[:, :, None, None, :]  # [C,D,1,1,S]
+    bias_s = jnp.where(causal[None, None, None] & valid_suffix, 0.0, -1e9)
+    bias_p = jnp.where(
+        prefix_mask.astype(bool)[:, None, None, None, :], 0.0, -1e9
+    )  # [C,1,1,1,P]
     bias = jnp.concatenate(
-        [jnp.broadcast_to(bias_p, (d, 1, s, prefix_mask.shape[0])), bias_s],
+        [
+            jnp.broadcast_to(bias_p, (c, d, 1, s, prefix_mask.shape[1])),
+            bias_s,
+        ],
         axis=-1,
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)  # [C, D, 1, S, P+S]
 
     def layer(x, scanned):
         p, pk, pv = scanned
         h = _rms_norm(x, p["input_norm"], eps)
-        q = (h @ p["q_proj"]).reshape(d, s, nq, dh)
-        k = (h @ p["k_proj"]).reshape(d, s, nkv, dh)
-        v = (h @ p["v_proj"]).reshape(d, s, nkv, dh)
+        q = (h @ p["q_proj"]).reshape(c, d, s, nq, dh)
+        k = (h @ p["k_proj"]).reshape(c, d, s, nkv, dh)
+        v = (h @ p["v_proj"]).reshape(c, d, s, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
+        q = rope(q)
+        k = rope(k)
         attn_out = _suffix_attention(q, pk, pv, k, v, bias)
         x = x + attn_out @ p["o_proj"]
         h = _rms_norm(x, p["post_norm"], eps)
         mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
         return x + mlp, None
 
-    x, _ = lax.scan(layer, x, (params["layers"], pk_g, pv_g))
+    x, _ = lax.scan(layer, x, (params["layers"], pk_c, pv_c))
     hidden = _rms_norm(x, params["final_norm"], eps)
-    last = _last_valid_index(attention_mask)
-    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
-    logits = _lm_head(params, pooled)
-    pair = jnp.stack([logits[:, token_false], logits[:, token_true]], axis=1)
-    return jax.nn.softmax(pair, axis=1)[:, 1]
+    flat_mask = attention_mask.reshape(c * d, s)
+    last = _last_valid_index(flat_mask)
+    flat_hidden = hidden.reshape(c * d, s, -1)
+    pooled = jnp.take_along_axis(flat_hidden, last[:, None, None], axis=1)[:, 0, :]
+    pair = _pair_logits(params, pooled, token_false, token_true)
+    return jax.nn.softmax(pair, axis=1)[:, 1].reshape(c, d)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "token_true", "token_false")
+    jax.jit,
+    static_argnames=("config", "token_true", "token_false", "group_chunk"),
 )
 def rerank_scores_grouped(
     params: dict,
@@ -569,6 +602,7 @@ def rerank_scores_grouped(
     *,
     token_true: int,
     token_false: int,
+    group_chunk: int = 4,
 ) -> jnp.ndarray:
     """P("true") for G query groups of D document suffixes each: -> [G, D].
 
@@ -577,28 +611,39 @@ def rerank_scores_grouped(
         prefix_mask: [G, P].
         suffix_ids/suffix_mask: [G, D, S] right-padded document suffixes.
         pos_offset: [G] int32 — each group's true (unpadded) prefix length.
+        group_chunk: query groups per scan step (G % group_chunk == 0).
 
-    The outer ``lax.scan`` walks query groups so peak memory is one group's
-    activations regardless of G; the prefix KV for group g is dynamic-sliced
-    out of the stacked cache (no per-document gather ever materializes).
+    The outer ``lax.scan`` walks `group_chunk` groups at a time; each
+    group's prefix KV broadcasts over its D documents in the attention
+    einsum (no per-row gather — a flat per-row-KV layout measured SLOWER
+    than the baseline it was meant to beat: 1976-2572 ms vs grouped
+    1644 ms at the 0.6B config-4 geometry). Measured on hardware the
+    forward is VPU/layout-bound at these short suffixes, so larger chunks
+    don't pay: chunk 1/4/8/16 = 1708/1686/2104/2447 ms — 4 is the default;
+    the win over the unsplit baseline (2702 ms) comes from not recomputing
+    the prefix, not from bigger matmuls.
     """
     g, d, s = suffix_ids.shape
+    if g % group_chunk:
+        raise ValueError(f"G={g} not a multiple of group_chunk={group_chunk}")
     pmax = pk.shape[2]
     cos_full, sin_full = _rope_tables(config, pmax + s)
+    n_chunks = g // group_chunk
 
     def one(idx, xs):
         ids, mask, off = xs
-        pk_g = lax.dynamic_index_in_dim(pk, idx, axis=1, keepdims=False)
-        pv_g = lax.dynamic_index_in_dim(pv, idx, axis=1, keepdims=False)
-        pmask_g = lax.dynamic_index_in_dim(
-            prefix_mask, idx, axis=0, keepdims=False
+        start = idx * group_chunk
+        pk_c = lax.dynamic_slice_in_dim(pk, start, group_chunk, axis=1)
+        pv_c = lax.dynamic_slice_in_dim(pv, start, group_chunk, axis=1)
+        pmask_c = lax.dynamic_slice_in_dim(
+            prefix_mask, start, group_chunk, axis=0
         )
         scores = _suffix_forward_scores(
             params,
             config,
-            pk_g,
-            pv_g,
-            pmask_g,
+            pk_c,
+            pv_c,
+            pmask_c,
             ids,
             mask,
             off,
@@ -609,186 +654,16 @@ def rerank_scores_grouped(
         )
         return idx + 1, scores
 
-    _, out = lax.scan(one, 0, (suffix_ids, suffix_mask, pos_offset))
-    return out
-
-
-def _suffix_attention_rows(
-    q: jnp.ndarray,
-    pk: jnp.ndarray,
-    pv: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: jnp.ndarray,
-) -> jnp.ndarray:
-    """Suffix attention where every row carries its own prefix KV.
-
-    q: [C, S, NQ, DH]; pk/pv: [C, P, NKV, DH] (row-gathered); k/v:
-    [C, S, NKV, DH]; bias: [C, 1, S, P+S].
-    """
-    c, s, nq, dh = q.shape
-    p = pk.shape[1]
-    nkv = k.shape[2]
-    group = nq // nkv
-    qg = q.reshape(c, s, nkv, group, dh)
-    scores_p = jnp.einsum(
-        "ctkge,cpke->ckgtp", qg, pk, preferred_element_type=jnp.float32
-    )
-    scores_s = jnp.einsum(
-        "ctkge,cuke->ckgtu", qg, k, preferred_element_type=jnp.float32
-    )
-    scores = jnp.concatenate([scores_p, scores_s], axis=-1) * (dh**-0.5)
-    scores = scores + bias[:, :, None, :, :]
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out_p = jnp.einsum("ckgtp,cpke->ctkge", probs[..., :p], pv)
-    out_s = jnp.einsum("ckgtu,cuke->ctkge", probs[..., p:], v)
-    return (out_p + out_s).reshape(c, s, nq * dh)
-
-
-def _suffix_forward_flat(
-    params: dict,
-    config: Qwen3Config,
-    pk: jnp.ndarray,
-    pv: jnp.ndarray,
-    prefix_mask: jnp.ndarray,
-    input_ids: jnp.ndarray,
-    attention_mask: jnp.ndarray,
-    group_idx: jnp.ndarray,
-    pos_offset: jnp.ndarray,
-    cos_full: jnp.ndarray,
-    sin_full: jnp.ndarray,
-    token_true: int,
-    token_false: int,
-) -> jnp.ndarray:
-    """One chunk of [C, S] suffix rows, each attending its group's prefix."""
-    c, s = input_ids.shape
-    nq, nkv, dh = (
-        config.num_attention_heads,
-        config.num_key_value_heads,
-        config.head_dim,
-    )
-    eps = config.rms_norm_eps
-
-    pk_rows = jnp.take(pk, group_idx, axis=1)  # [L, C, P, K, E]
-    pv_rows = jnp.take(pv, group_idx, axis=1)
-    pmask_rows = jnp.take(prefix_mask, group_idx, axis=0)  # [C, P]
-
-    x = jnp.take(params["embed"], input_ids, axis=0)
-    pos = pos_offset[:, None] + jnp.arange(s)[None, :]  # [C, S]
-    cos = cos_full[pos]  # [C, S, DH]
-    sin = sin_full[pos]
-
-    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
-    valid_suffix = attention_mask.astype(bool)[:, None, None, :]
-    bias_s = jnp.where(causal[None, None] & valid_suffix, 0.0, -1e9)
-    bias_p = jnp.where(
-        pmask_rows.astype(bool)[:, None, None, :], 0.0, -1e9
-    )  # [C, 1, 1, P]
-    bias = jnp.concatenate(
-        [jnp.broadcast_to(bias_p, (c, 1, s, pmask_rows.shape[1])), bias_s],
-        axis=-1,
-    ).astype(jnp.float32)
-
-    def rope_rows(t):
-        return t * cos[:, :, None, :].astype(t.dtype) + _rotate_half(t) * sin[
-            :, :, None, :
-        ].astype(t.dtype)
-
-    def layer(x, scanned):
-        p, pk_l, pv_l = scanned
-        h = _rms_norm(x, p["input_norm"], eps)
-        q = (h @ p["q_proj"]).reshape(c, s, nq, dh)
-        k = (h @ p["k_proj"]).reshape(c, s, nkv, dh)
-        v = (h @ p["v_proj"]).reshape(c, s, nkv, dh)
-        q = _rms_norm(q, p["q_norm"], eps)
-        k = _rms_norm(k, p["k_norm"], eps)
-        q = rope_rows(q)
-        k = rope_rows(k)
-        attn_out = _suffix_attention_rows(q, pk_l, pv_l, k, v, bias)
-        x = x + attn_out @ p["o_proj"]
-        h = _rms_norm(x, p["post_norm"], eps)
-        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
-        return x + mlp, None
-
-    x, _ = lax.scan(layer, x, (params["layers"], pk_rows, pv_rows))
-    hidden = _rms_norm(x, params["final_norm"], eps)
-    last = _last_valid_index(attention_mask)
-    pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
-    logits = _lm_head(params, pooled)
-    pair = jnp.stack([logits[:, token_false], logits[:, token_true]], axis=1)
-    return jax.nn.softmax(pair, axis=1)[:, 1]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "token_true", "token_false", "chunk"),
-)
-def rerank_scores_prefixed_flat(
-    params: dict,
-    config: Qwen3Config,
-    pk: jnp.ndarray,
-    pv: jnp.ndarray,
-    prefix_mask: jnp.ndarray,
-    suffix_ids: jnp.ndarray,
-    suffix_mask: jnp.ndarray,
-    group_idx: jnp.ndarray,
-    pos_offset: jnp.ndarray,
-    *,
-    token_true: int,
-    token_false: int,
-    chunk: int,
-) -> jnp.ndarray:
-    """P("true") for a FLAT batch of suffix rows with shared-prefix KV: [B].
-
-    The grouped variant (rerank_scores_grouped) walks one query group per
-    scan step — D≈50 rows of short suffixes per matmul, which measured ~34%
-    MFU at the 0.6B serving geometry. This flat form packs rows from many
-    groups into `chunk`-row steps (the per-row prefix KV is gathered by
-    group_idx — ~30 ms of HBM traffic per 6400-pair batch vs seconds of
-    compute), so the MXU sees chunk×S tokens per step regardless of group
-    fan-out, and document counts per query never pad up.
-
-    Args:
-        pk/pv: [L, G, P, NKV, DH] from ``prefix_kv`` over all G queries.
-        suffix_ids/suffix_mask: [B, S], B % chunk == 0 (caller pads).
-        group_idx: [B] int32 row -> query group.
-        pos_offset: [B] int32 true prefix length of the row's group.
-    """
-    b, s = suffix_ids.shape
-    pmax = pk.shape[2]
-    cos_full, sin_full = _rope_tables(config, pmax + s)
-    nc = b // chunk
-
-    def one(_, xs):
-        ids, mask, gidx, off = xs
-        scores = _suffix_forward_flat(
-            params,
-            config,
-            pk,
-            pv,
-            prefix_mask,
-            ids,
-            mask,
-            gidx,
-            off,
-            cos_full,
-            sin_full,
-            token_true,
-            token_false,
-        )
-        return None, scores
-
     _, out = lax.scan(
         one,
-        None,
+        0,
         (
-            suffix_ids.reshape(nc, chunk, s),
-            suffix_mask.reshape(nc, chunk, s),
-            group_idx.reshape(nc, chunk),
-            pos_offset.reshape(nc, chunk),
+            suffix_ids.reshape(n_chunks, group_chunk, d, s),
+            suffix_mask.reshape(n_chunks, group_chunk, d, s),
+            pos_offset.reshape(n_chunks, group_chunk),
         ),
     )
-    return out.reshape(b)
+    return out.reshape(g, d)
 
 
 @functools.partial(

@@ -306,14 +306,38 @@ class RerankerClient:
         if pad_id is None:
             pad_id = self.tokenizer.eos_token_id or 0
 
-        if records:
-            # ONE prefix forward covers every query of the batch.
-            g_pad = bucket_batch(len(records))
-            p_pad = bucket_length(max(r[1] for r in records), self.max_length)
+        # Groups are partitioned by suffix-length bucket (a group's bucket is
+        # its longest document) so short informalizations never pad to one
+        # outlier's length; each partition runs one prefix_kv + one grouped
+        # dispatch. D pads to the partition's max document count exactly —
+        # rerank_top is constant in production, so the compile set stays
+        # tiny without bucket-rounding 50 docs up to 64. Suffix buckets are
+        # finer than the global LENGTH_BUCKETS: with the prefix cached, the
+        # suffix is all that is forwarded, and typical
+        # "name: informalization" suffixes are 12-20 tokens — padding them
+        # to 32 would double the rerank FLOPs.
+        suffix_buckets = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+        by_bucket: dict[int, list[tuple[int, int, list[list[int]]]]] = {}
+        for rec in records:
+            s_bucket = bucket_length(
+                max(len(sfx) for sfx in rec[2]),
+                self.max_length,
+                buckets=suffix_buckets,
+            )
+            by_bucket.setdefault(s_bucket, []).append(rec)
+
+        fetches = []
+        for s_bucket, recs in sorted(by_bucket.items()):
+            chunk = min(4, bucket_batch(len(recs)))
+            g_pad = ((len(recs) + chunk - 1) // chunk) * chunk
+            d_pad = max(len(r[2]) for r in recs)
+            p_pad = bucket_length(max(r[1] for r in recs), self.max_length)
             prefix_ids = np.full((g_pad, p_pad), pad_id, dtype=np.int32)
             prefix_mask = np.zeros((g_pad, p_pad), dtype=np.int32)
-            prefix_len = np.zeros((g_pad,), dtype=np.int32)
-            for row, (gi, shared, _suffixes) in enumerate(records):
+            suffix_ids = np.full((g_pad, d_pad, s_bucket), pad_id, dtype=np.int32)
+            suffix_mask = np.zeros((g_pad, d_pad, s_bucket), dtype=np.int32)
+            pos_offset = np.zeros((g_pad,), dtype=np.int32)
+            for row, (gi, shared, suffixes) in enumerate(recs):
                 # Prefix tokens are identical across the group's pairs by
                 # construction; re-tokenize once from the first pair.
                 pair0 = self._format_pair(queries[gi], docs_grouped[gi][0])
@@ -322,8 +346,17 @@ class RerankerClient:
                 )["input_ids"][:shared]
                 prefix_ids[row, :shared] = head
                 prefix_mask[row, :shared] = 1
-                prefix_len[row] = shared
-            prefix_mask[len(records) :, 0] = 1
+                pos_offset[row] = shared
+                for di, sfx in enumerate(suffixes):
+                    sfx = sfx[:s_bucket]
+                    suffix_ids[row, di, : len(sfx)] = sfx
+                    suffix_mask[row, di, : len(sfx)] = 1
+            # Pad rows/docs keep one valid token so softmax and pooling
+            # indices stay benign; their scores are discarded.
+            prefix_mask[len(recs) :, 0] = 1
+            flat_mask = suffix_mask.reshape(g_pad * d_pad, s_bucket)
+            empty = ~flat_mask.any(axis=1)
+            flat_mask[empty, 0] = 1
 
             pk, pv = qwen3_mod.prefix_kv(
                 self.params,
@@ -331,61 +364,25 @@ class RerankerClient:
                 jnp.asarray(prefix_ids),
                 jnp.asarray(prefix_mask),
             )
-            prefix_mask_dev = jnp.asarray(prefix_mask)
+            scores = qwen3_mod.rerank_scores_grouped(
+                self.params,
+                self.config,
+                pk,
+                pv,
+                jnp.asarray(prefix_mask),
+                jnp.asarray(suffix_ids),
+                jnp.asarray(suffix_mask),
+                jnp.asarray(pos_offset),
+                token_true=int(self.token_true_id),
+                token_false=int(self.token_false_id),
+                group_chunk=chunk,
+            )
+            fetches.append((recs, scores))
 
-            # Flat suffix rows: (group row, doc position, tokens). Rows are
-            # partitioned by suffix-length bucket so short informalizations
-            # never pad to one outlier's length, then packed into
-            # `chunk`-row device steps regardless of which query they
-            # belong to — document counts per query never pad up.
-            flat: list[tuple[int, int, int, list[int]]] = []
-            for row, (gi, _shared, suffixes) in enumerate(records):
-                for di, sfx in enumerate(suffixes):
-                    flat.append((row, gi, di, sfx))
-            by_bucket: dict[int, list[tuple[int, int, int, list[int]]]] = {}
-            for item in flat:
-                s_bucket = bucket_length(len(item[3]), self.max_length)
-                by_bucket.setdefault(s_bucket, []).append(item)
-
-            fetches = []
-            for s_bucket, items in sorted(by_bucket.items()):
-                chunk = min(256, bucket_batch(len(items)))
-                b_pad = ((len(items) + chunk - 1) // chunk) * chunk
-                suffix_ids = np.full((b_pad, s_bucket), pad_id, dtype=np.int32)
-                suffix_mask = np.zeros((b_pad, s_bucket), dtype=np.int32)
-                group_idx = np.zeros((b_pad,), dtype=np.int32)
-                pos_offset = np.zeros((b_pad,), dtype=np.int32)
-                for b, (row, _gi, _di, sfx) in enumerate(items):
-                    sfx = sfx[:s_bucket]
-                    suffix_ids[b, : len(sfx)] = sfx
-                    suffix_mask[b, : len(sfx)] = 1
-                    group_idx[b] = row
-                    pos_offset[b] = prefix_len[row]
-                # Pad rows keep one valid token so softmax and pooling
-                # indices stay benign; their scores are discarded.
-                suffix_mask[len(items) :, 0] = 1
-                scores = qwen3_mod.rerank_scores_prefixed_flat(
-                    self.params,
-                    self.config,
-                    pk,
-                    pv,
-                    prefix_mask_dev,
-                    jnp.asarray(suffix_ids),
-                    jnp.asarray(suffix_mask),
-                    jnp.asarray(group_idx),
-                    jnp.asarray(pos_offset),
-                    token_true=int(self.token_true_id),
-                    token_false=int(self.token_false_id),
-                    chunk=chunk,
-                )
-                fetches.append((items, scores))
-
-            for gi, _shared, suffixes in records:
-                results[gi] = [0.0] * len(suffixes)
-            for items, scores in fetches:
-                host = np.asarray(scores)
-                for b, (_row, gi, di, _sfx) in enumerate(items):
-                    results[gi][di] = float(host[b])
+        for recs, scores in fetches:
+            host = np.asarray(scores)
+            for row, (gi, _shared, suffixes) in enumerate(recs):
+                results[gi] = [float(s) for s in host[row, : len(suffixes)]]
 
         if fallback_q:
             flat = self.rerank_pairs_sync(fallback_q, fallback_d)

@@ -171,38 +171,25 @@ class TestRerankerPrefixKV:
         pk, pv = qwen3.prefix_kv(
             params, config, jnp.asarray(prefix), jnp.asarray(prefix_mask)
         )
-        got = np.asarray(
-            qwen3.rerank_scores_grouped(
-                params,
-                config,
-                pk,
-                pv,
-                jnp.asarray(prefix_mask),
-                jnp.asarray(suffix),
-                jnp.asarray(suffix_mask),
-                jnp.asarray(np.full((g,), p_len, dtype=np.int32)),
-                token_true=reranker_client.token_true_id,
-                token_false=reranker_client.token_false_id,
+        # group_chunk=1 and 2 exercise both the single-group and the
+        # multi-group-per-step (broadcast over the chunk axis) layouts.
+        by_chunk = {}
+        for chunk in (1, 2):
+            by_chunk[chunk] = np.asarray(
+                qwen3.rerank_scores_grouped(
+                    params,
+                    config,
+                    pk,
+                    pv,
+                    jnp.asarray(prefix_mask),
+                    jnp.asarray(suffix),
+                    jnp.asarray(suffix_mask),
+                    jnp.asarray(np.full((g,), p_len, dtype=np.int32)),
+                    token_true=reranker_client.token_true_id,
+                    token_false=reranker_client.token_false_id,
+                    group_chunk=chunk,
+                )
             )
-        )
-        # Flat variant: same pairs as one row-major flat batch (chunk=4,
-        # so the 6 rows span two scan steps and group gathers cross chunks).
-        flat_scores = np.asarray(
-            qwen3.rerank_scores_prefixed_flat(
-                params,
-                config,
-                pk,
-                pv,
-                jnp.asarray(prefix_mask),
-                jnp.asarray(suffix.reshape(g * d, s_len)),
-                jnp.asarray(suffix_mask.reshape(g * d, s_len)),
-                jnp.asarray(np.repeat(np.arange(g), d).astype(np.int32)),
-                jnp.asarray(np.full((g * d,), p_len, dtype=np.int32)),
-                token_true=reranker_client.token_true_id,
-                token_false=reranker_client.token_false_id,
-                chunk=2,
-            )
-        ).reshape(g, d)
 
         for gi in range(g):
             for di in range(d):
@@ -220,8 +207,10 @@ class TestRerankerPrefixKV:
                         token_false=reranker_client.token_false_id,
                     )[0]
                 )
-                np.testing.assert_allclose(got[gi, di], want, atol=1e-5)
-                np.testing.assert_allclose(flat_scores[gi, di], want, atol=1e-5)
+                for chunk in (1, 2):
+                    np.testing.assert_allclose(
+                        by_chunk[chunk][gi, di], want, atol=1e-5
+                    )
 
 
 class TestRemoteEmbeddingClient:
