@@ -210,5 +210,11 @@ class DenseIndex:
         return scores, self.ids[rows]
 
     def row_embeddings(self) -> np.ndarray:
-        """Host copy of the (unpadded) matrix, float32."""
+        """Host copy of the (unpadded) matrix, float32 (int8 dequantizes,
+        same as save())."""
+        if self.scales is not None:
+            return (
+                np.asarray(self.embeddings, dtype=np.float32)
+                * np.asarray(self.scales)[:, None]
+            )[: self.n]
         return np.asarray(self.embeddings, dtype=np.float32)[: self.n]

@@ -93,6 +93,44 @@ def _local_topk_fused(q, shard, row_offset, n_valid, *, k, recall_target):
     return s, row_offset + pos.astype(jnp.int32)
 
 
+def _local_topk_fused_int8(
+    q, codes, scales, row_offset, n_valid, *, k, recall_target
+):
+    """Int8 twin of _local_topk_fused: per-shard fused selection over the
+    quantized codes + per-row scales (BASELINE config 5 at the 9-package
+    scale is exactly where int8's halved HBM footprint pays)."""
+    from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
+
+    rows = codes.shape[0]
+    local_k = min(k, rows)
+    local_valid = jnp.clip(n_valid - row_offset, 0, rows)
+    bins = 8192
+    local_batch = max(q.shape[0], 8)
+    while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
+        bins //= 2
+    while bins > rows and bins > 1024:
+        bins //= 2
+    s, pos = pallas_bin_topk_int8(
+        q,
+        codes,
+        scales,
+        local_valid,
+        k=local_k,
+        bins=bins,
+        tile_rows=512,
+        recall_target=max(recall_target, 0.99),
+        interpret=jax.default_backend() != "tpu",
+    )
+    if local_k < k:
+        s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
+        pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
+    # Same per-candidate sentinel masking as the f32 twin.
+    sentinel = s <= -2.0
+    s = jnp.where(sentinel, NEG_INF, s)
+    pos = jnp.where(sentinel, 0, pos)
+    return s, row_offset + pos.astype(jnp.int32)
+
+
 def make_sharded_topk(
     mesh: Mesh, *, k: int, chunk: int = 8192, method: str = "chunked",
     recall_target: float = 0.95,
@@ -102,9 +140,36 @@ def make_sharded_topk(
     Returns fn(queries [B, D], corpus [N, D], n_valid) -> (scores, idx),
     where B divides the ``data`` axis size and N the ``corpus`` axis size.
     method "approx" uses the TPU PartialReduce selection per shard (serving
-    default at scale — see ops.dense._approx_topk); "chunked" is exact.
+    default at scale — see ops.dense._approx_topk); "chunked" is exact;
+    "fused_int8" returns fn(queries, codes, scales, n_valid) over an
+    int8-quantized corpus.
     """
     n_corpus = mesh.shape["corpus"]
+
+    if method == "fused_int8":
+
+        def inner_int8(q, codes, scales, n_valid):
+            shard_rows = codes.shape[0]
+            shard_idx = lax.axis_index("corpus")
+            row_offset = shard_idx * shard_rows
+            local_s, local_i = _local_topk_fused_int8(
+                q, codes, scales, row_offset, n_valid[0],
+                k=k, recall_target=recall_target,
+            )
+            all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
+            all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
+            best_s, pos = lax.approx_max_k(all_s, k, recall_target=recall_target)
+            best_i = jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
+            return best_s, best_i
+
+        mapped = shard_map(
+            inner_int8,
+            mesh=mesh,
+            in_specs=(P("data", None), P("corpus", None), P("corpus"), P()),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
 
     def _local_topk_approx(q, shard, row_offset, n_valid):
         batch = q.shape[0]
@@ -183,18 +248,17 @@ class ShardedDenseIndex:
     ):
         if embeddings.shape[0] != len(ids):
             raise ValueError("ids length must match embedding rows")
-        if str(dtype) == "int8":
-            raise ValueError(
-                "int8 quantization is not supported for sharded serving; "
-                "use bfloat16 (LEAN_EXPLORE_CORPUS_DTYPE=bfloat16)"
-            )
         self.mesh = mesh
         self.ids = np.asarray(ids, dtype=np.int64)
         self.n = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.chunk = chunk
+        self.scales = None  # set for int8-quantized indices
 
         n_corpus = mesh.shape["corpus"]
+        int8 = str(dtype) == "int8"
+        if int8:
+            method = "fused_int8"
         if method == "auto":
             # Same crossover as ops.dense.dense_topk, judged per shard: small
             # shards use the exact scan (cheap and bit-exact), large shards
@@ -207,19 +271,33 @@ class ShardedDenseIndex:
             else:
                 method = "approx"
         self.method = method
-        # Shards split evenly over the corpus axis; the fused kernel further
-        # needs per-shard rows aligned to its 512-row tile.
-        align = n_corpus * (512 if method == "fused" else 1)
+        # Shards split evenly over the corpus axis; the fused kernels further
+        # need per-shard rows aligned to their 512-row tile.
+        align = n_corpus * (512 if method in ("fused", "fused_int8") else 1)
         padded = ((self.n + align - 1) // align) * align
         mat = np.zeros((max(padded, align), self.dim), dtype=np.float32)
         mat[: self.n] = np.asarray(embeddings, dtype=np.float32)
         norms = np.linalg.norm(mat[: self.n], axis=1, keepdims=True)
         mat[: self.n] /= np.maximum(norms, 1e-12)
 
-        sharding = NamedSharding(mesh, P("corpus", None))
-        self.embeddings = jax.device_put(
-            jnp.asarray(mat, dtype=jnp.dtype(dtype)), sharding
-        )
+        row_sharding = NamedSharding(mesh, P("corpus", None))
+        if int8:
+            from lean_explore_tpu.ops.quant import quantize_rows
+
+            codes, scales = quantize_rows(mat[: self.n])
+            pad = mat.shape[0] - self.n
+            if pad:  # zero pad rows quantize to zero codes; scale moot
+                codes = np.pad(codes, ((0, pad), (0, 0)))
+                scales = np.pad(scales, (0, pad), constant_values=1.0)
+            self.embeddings = jax.device_put(jnp.asarray(codes), row_sharding)
+            self.scales = jax.device_put(
+                jnp.asarray(scales, dtype=jnp.float32),
+                NamedSharding(mesh, P("corpus")),
+            )
+        else:
+            self.embeddings = jax.device_put(
+                jnp.asarray(mat, dtype=jnp.dtype(dtype)), row_sharding
+            )
         self._topk_fns: dict[int, object] = {}
 
     def search(self, query_embeddings, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -239,13 +317,21 @@ class ShardedDenseIndex:
                 self.mesh, k=k, chunk=self.chunk, method=self.method
             )
             self._topk_fns[k] = fn
-        scores, idx = fn(
-            q, self.embeddings, jnp.asarray([self.n], dtype=jnp.int32)
-        )
+        n_valid = jnp.asarray([self.n], dtype=jnp.int32)
+        if self.scales is not None:
+            scores, idx = fn(q, self.embeddings, self.scales, n_valid)
+        else:
+            scores, idx = fn(q, self.embeddings, n_valid)
         scores = np.asarray(jax.device_get(scores))[:batch]
         idx = np.asarray(jax.device_get(idx))[:batch]
         return scores, self.ids[idx]
 
     def row_embeddings(self) -> np.ndarray:
-        """Host copy of the (unpadded) matrix, float32 — DenseIndex parity."""
+        """Host copy of the (unpadded) matrix, float32 — DenseIndex parity
+        (int8 indices dequantize, mirroring DenseIndex.save)."""
+        if self.scales is not None:
+            return (
+                np.asarray(self.embeddings, dtype=np.float32)
+                * np.asarray(self.scales)[:, None]
+            )[: self.n]
         return np.asarray(self.embeddings, dtype=np.float32)[: self.n]

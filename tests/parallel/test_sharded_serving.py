@@ -123,9 +123,37 @@ class TestConfigWiring:
         assert isinstance(arts.dense, ShardedDenseIndex)
         assert dict(arts.dense.mesh.shape) == {"data": 1, "corpus": 8}
 
-    def test_int8_rejected_for_sharded(self, artifact_dir, mesh_config):
-        with pytest.raises(ValueError, match="int8"):
-            load_index_artifacts(artifact_dir, dense_dtype="int8")
+    def test_int8_sharded_matches_single_device(self, artifact_dir, mesh_config):
+        """Int8 serving on the (2,4) mesh returns the single-device int8
+        index's results (same row quantization on both paths; the fused
+        kernel's provenance packing adds ~6e-5 score noise)."""
+        sharded = load_index_artifacts(artifact_dir, dense_dtype="int8")
+        assert isinstance(sharded.dense, ShardedDenseIndex)
+        assert sharded.dense.method == "fused_int8"
+        single = load_index_artifacts(
+            artifact_dir, dense_dtype="int8", mesh=False
+        )
+        assert isinstance(single.dense, DenseIndex)
+
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((5, DIM)).astype(np.float32)
+        got_s, got_ids = sharded.dense.search(q, k=10)
+        want_s, want_ids = single.dense.search(q, k=10)
+        np.testing.assert_array_equal(got_ids, want_ids)
+        np.testing.assert_allclose(got_s, want_s, atol=2e-4)
+
+    def test_int8_sharded_row_embeddings_dequantize(
+        self, artifact_dir, mesh_config
+    ):
+        sharded = load_index_artifacts(artifact_dir, dense_dtype="int8")
+        single = load_index_artifacts(
+            artifact_dir, dense_dtype="int8", mesh=False
+        )
+        np.testing.assert_allclose(
+            sharded.dense.row_embeddings(),
+            single.dense.row_embeddings(),
+            atol=1e-7,
+        )
 
 
 class TestShardedEngineParity:
