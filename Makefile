@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: install native test test-all bench lint clean
+.PHONY: install native test test-all eval bench lint clean
 
 install:
 	pip install -e . --no-deps --no-build-isolation
@@ -13,6 +13,13 @@ test:
 
 test-all:
 	python -m pytest tests/ -q
+
+# Ranking-quality gate: the synthetic eval plants each query's answer, so
+# hybrid recall@10 sits near 1.0 by construction — a drop below the floor
+# means fusion/selection regressed, not that the corpus got harder.
+eval:
+	python scripts/eval_retrieval.py --n 2000 --dim 64 --queries 128 \
+		--min-recall10 0.95
 
 bench:
 	python bench.py

@@ -126,6 +126,9 @@ def main() -> None:
                         help="evaluate real artifacts instead of synthetic")
     parser.add_argument("--queries-file", type=str, default=None,
                         help="jsonl of {query, target} for --data-dir mode")
+    parser.add_argument("--min-recall10", type=float, default=None,
+                        help="quality gate: exit 1 if hybrid recall@10 "
+                             "falls below this floor (CI regression guard)")
     args = parser.parse_args()
 
     from lean_explore_tpu.index import load_index_artifacts
@@ -168,6 +171,19 @@ def main() -> None:
         log(f"evaluating {label} ...")
         report[label] = evaluate(engine, labeled, **overrides)
     print(json.dumps(report))
+
+    if args.min_recall10 is not None:
+        got = report["hybrid"]["recall_at_10"]
+        if got < args.min_recall10:
+            log(
+                f"QUALITY GATE FAILED: hybrid recall@10 {got:.4f} < "
+                f"floor {args.min_recall10:.4f}"
+            )
+            sys.exit(1)
+        log(
+            f"quality gate ok: hybrid recall@10 {got:.4f} >= "
+            f"{args.min_recall10:.4f}"
+        )
 
 
 if __name__ == "__main__":

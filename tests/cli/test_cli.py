@@ -446,3 +446,152 @@ class TestDataCommandsCli:
                      ["data", "convert", "--help"]):
             result = CliRunner().invoke(cli, args or ["--help"])
             assert result.exit_code == 0
+
+
+class TestFetchConvertServeE2E:
+    """The migration story end-to-end with real bytes.
+
+    (a) `data fetch` against a mocked transport serving a REAL artifact set
+        -> the installed tree is directly servable.
+    (b) `data convert` pointed at a reference-faithful cache tree — the full
+        file layout the reference's fetch installs (lean_explore.db, FAISS
+        index + ids map, bm25s dirs with their 6-file sets; reference
+        cli/data_commands.py:42-59) — ignores the foreign index files and
+        produces a servable artifact set.
+    """
+
+    def _build_source_artifacts(self, path):
+        import numpy as np
+
+        from lean_explore_tpu.index import build_index_artifacts
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+
+        path.mkdir(parents=True)
+        store = DeclarationStore(path / "declarations.db", create=True)
+        rng = np.random.default_rng(4)
+        decls = []
+        for i in range(20):
+            v = rng.standard_normal(16).astype(np.float32)
+            v /= np.linalg.norm(v)
+            decls.append(
+                Declaration(
+                    name=f"Srv.decl{i}",
+                    module=f"Srv.Mod{i % 2}",
+                    source_text=f"def decl{i} := {i}",
+                    source_link=f"https://x/{i}",
+                    informalization=f"**Decl {i}.** served declaration {i}",
+                    informalization_embedding=v.tolist(),
+                )
+            )
+        store.insert_many(decls)
+        build_index_artifacts(store, path)
+        store.close()
+        return path
+
+    def _serve_one(self, artifact_dir, query):
+        import asyncio
+
+        import numpy as np
+
+        from lean_explore_tpu.index import load_index_artifacts
+        from lean_explore_tpu.models import DeclarationStore
+        from lean_explore_tpu.search.engine import SearchEngine
+        from lean_explore_tpu.util.embedding_client import EmbeddingResponse
+
+        class Embedder:
+            async def embed(self, texts, is_query=False):
+                rng = np.random.default_rng(1)
+                v = rng.standard_normal((len(texts), 16)).astype(np.float32)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                return EmbeddingResponse(
+                    texts=list(texts), embeddings=v.tolist(), model="t"
+                )
+
+        store = DeclarationStore(artifact_dir / "declarations.db")
+        engine = SearchEngine(
+            artifact_dir,
+            store=store,
+            artifacts=load_index_artifacts(artifact_dir, mesh=False),
+            embedding_client=Embedder(),
+        )
+        results = asyncio.run(engine.search(query, rerank_top=0, limit=5))
+        store.close()
+        return results
+
+    def test_fetch_real_bytes_then_serve(self, tmp_path, monkeypatch):
+        from lean_explore_tpu import config as config_mod
+        from lean_explore_tpu.cli import data_commands as dc
+        from lean_explore_tpu.config import REQUIRED_INDEX_FILES
+
+        source = self._build_source_artifacts(tmp_path / "published")
+        cache = tmp_path / "cache"
+        monkeypatch.setattr(config_mod.Config, "CACHE_DIRECTORY", cache)
+
+        def fake_get(url, timeout=None, stream=False):
+            class R:
+                def __init__(self, body):
+                    self.body = body
+                    self.headers = {"content-length": str(len(body))}
+                    self.text = body.decode() if b"\x00" not in body else ""
+
+                def raise_for_status(self):
+                    pass
+
+                def iter_content(self, chunk_size):
+                    for i in range(0, len(self.body), chunk_size):
+                        yield self.body[i : i + chunk_size]
+
+            if url.endswith("latest.txt"):
+                return R(b"20260301_000000")
+            name = url.rsplit("/", 1)[1]
+            assert name in REQUIRED_INDEX_FILES, url
+            return R((source / name).read_bytes())
+
+        monkeypatch.setattr(dc.requests, "get", fake_get)
+        result = CliRunner().invoke(data_group, ["fetch"])
+        assert result.exit_code == 0, result.output
+
+        installed = cache / "20260301_000000"
+        results = self._serve_one(installed, "served declaration 7")
+        assert results and results[0].name.startswith("Srv.decl")
+
+    def test_reference_faithful_cache_tree_convert_serve(self, tmp_path):
+        import numpy as np
+
+        # Reference cache layout (cli/data_commands.py:42-59): the database,
+        # the FAISS index + ids map, the shared bm25 ids map, and two bm25s
+        # directories of 6 files each.
+        ref_cache = tmp_path / "ref_cache" / "20250101_000000"
+        ref_cache.mkdir(parents=True)
+        TestDataConvert._make_reference_db(
+            TestDataConvert(), ref_cache / "lean_explore.db"
+        )
+        (ref_cache / "informalization_faiss.index").write_bytes(
+            b"IVF-FLAT-OPAQUE-BYTES" * 10
+        )
+        (ref_cache / "informalization_faiss_ids_map.json").write_text(
+            json.dumps(list(range(1, 13)))
+        )
+        (ref_cache / "bm25_ids_map.json").write_text(
+            json.dumps(list(range(1, 13)))
+        )
+        for bm25_dir in ("bm25_name_spaced", "bm25_name_raw"):
+            d = ref_cache / bm25_dir
+            d.mkdir()
+            for array_name in ("data", "indices", "indptr"):
+                np.save(d / f"{array_name}.csc.index.npy", np.zeros(3))
+            np.save(d / "nonoccurrence_array.index.npy", np.zeros(3))
+            (d / "params.index.json").write_text(
+                json.dumps({"method": "bm25+", "k1": 1.5, "b": 0.75})
+            )
+            (d / "vocab.index.json").write_text(json.dumps({"nat": 0}))
+
+        out = tmp_path / "converted"
+        result = CliRunner().invoke(
+            data_group, ["convert", str(ref_cache), "--output", str(out)]
+        )
+        assert result.exit_code == 0, result.output
+        assert "Converted 12 declarations (10 embedded)" in result.output
+
+        results = self._serve_one(out, "reference declaration 3")
+        assert results and results[0].name.startswith("Ref.decl")
