@@ -96,6 +96,27 @@ def bench_model_forward(mode: str) -> None:
         float(fn(*inputs[i + 1]).sum())
     elapsed = (time.perf_counter() - t0) / reps
     throughput = batch / elapsed
+
+    # MFU accounting: trunk GEMM FLOPs (the attention score/value products
+    # and the single-position LM head are counted too) over the v5e bf16
+    # peak. Elementwise work (RMSNorm/RoPE/softmax/SiLU) is excluded, as is
+    # padding waste — this is the standard conservative MFU definition.
+    h, dh = config.hidden_size, config.head_dim
+    nq, nkv, inter = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.intermediate_size,
+    )
+    gemm_per_token = 2 * h * (nq * dh + 2 * nkv * dh + nq * dh + 3 * inter)
+    attn_per_token = 2 * 2 * nq * dh * seq  # QK^T + PV, causal ~T/2 * 2 ops
+    flops_per_token = config.num_hidden_layers * (
+        gemm_per_token + attn_per_token
+    )
+    total_flops = batch * seq * flops_per_token
+    if mode != "encode":  # last-position LM head (f32, still counted)
+        total_flops += 2 * batch * h * config.vocab_size
+    v5e_peak = 197e12  # bf16 FLOP/s per chip
+    mfu = total_flops / elapsed / v5e_peak
     print(
         json.dumps(
             {
@@ -104,6 +125,9 @@ def bench_model_forward(mode: str) -> None:
                 "unit": "texts/sec" if mode == "encode" else "pairs/sec",
                 "vs_baseline": None,
                 "batch_latency_ms": round(elapsed * 1000, 2),
+                "model_tflops": round(total_flops / 1e12, 2),
+                "achieved_tflops_per_s": round(total_flops / elapsed / 1e12, 1),
+                "mfu_vs_v5e_bf16_peak": round(mfu, 3),
                 "platform": jax.devices()[0].platform,
             }
         )
