@@ -17,6 +17,16 @@ random-init — proving the text -> tokenizer -> model -> embedding -> index
 The exported checkpoint is a drop-in for serving:
 
     LEAN_EXPLORE_EMBEDDING_MODEL=runs/embedder/checkpoint lean-explore search ...
+
+Committed result (runs/embedder/eval.json, TPU v5e, default args: 20k
+docs / 1200 concepts / 512 held-out queries, hidden 256 x 4 layers,
+2000 steps): trained dense recall@10 0.592 / MRR 0.367 vs random-init
+0.022 / 0.009 — 27x random through the real engine; fused-selection
+recall@10 on the trained (anisotropic) geometry 0.986. Measured
+negatives while tuning: batch 512 x 800 steps scored WORSE than batch 64
+(0.184 vs 0.227 at hidden 128 — more in-batch negatives but fewer
+effective epochs and an unscaled LR); capacity, not batch, was the
+binding constraint (hidden 128 x 2L: 0.227; hidden 256 x 4L: 0.592).
 """
 
 import argparse
@@ -45,11 +55,11 @@ def main() -> None:
     parser.add_argument("--n-decls", type=int, default=20_000)
     parser.add_argument("--n-concepts", type=int, default=1200)
     parser.add_argument("--n-eval", type=int, default=512)
-    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--learning-rate", type=float, default=3e-4)
-    parser.add_argument("--hidden-size", type=int, default=128)
-    parser.add_argument("--num-layers", type=int, default=2)
+    parser.add_argument("--hidden-size", type=int, default=256)
+    parser.add_argument("--num-layers", type=int, default=4)
     parser.add_argument("--query-max-length", type=int, default=12)
     parser.add_argument("--doc-max-length", type=int, default=28)
     parser.add_argument("--seed", type=int, default=0)
