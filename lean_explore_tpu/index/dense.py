@@ -165,7 +165,7 @@ class DenseIndex:
                     pallas_bin_topk_int8,
                 )
 
-                bins = 8192
+                bins = 4096  # round-3 default; ops.dense fused_pallas notes
                 batch = max(q.shape[0], 8)
                 while bins * batch * 8 > 8 * 1024 * 1024 and bins > 1024:
                     bins //= 2  # VMEM cap; see ops.dense fused_pallas

@@ -287,8 +287,16 @@ def dense_topk(
         # VMEM budget: the packed carry + output block cost 2*bins*B*4 bytes;
         # cap at ~8MB so large query batches (B=256/512) still fit a 16MB
         # core alongside the double-buffered corpus tiles.
+        #
+        # bins=4096 (round 3, was 8192): the round-3 tile/bins sweep on
+        # hardware showed the raw kernel pass is 1.34 ms at config 3
+        # regardless of tile_rows (512/1024/2048 identical — grid overhead
+        # is NOT the limiter) while the k=1000 epilogue costs 0.21 ms over
+        # [B, 8192] but only 0.08 ms over [B, 4096]: 1.56 -> 1.37-1.42
+        # ms/batch at measured recall@10 0.9986 (bin-survivorship loss
+        # ~10/4096 stays under the bf16 noise floor).
         batch = max(queries.shape[0], 8)
-        bins = 8192
+        bins = 4096
         while bins * batch * 8 > 8 * 1024 * 1024 and bins > 2 * tile_rows:
             bins //= 2
         while bins > corpus.shape[0] and bins > 2 * tile_rows:

@@ -64,7 +64,7 @@ def _local_topk_fused(q, shard, row_offset, n_valid, *, k, recall_target):
     rows = shard.shape[0]
     local_k = min(k, rows)
     local_valid = jnp.clip(n_valid - row_offset, 0, rows)
-    bins = 8192
+    bins = 4096  # round-3 default; see ops.dense fused_pallas rationale
     local_batch = max(q.shape[0], 8)
     while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
         bins //= 2  # VMEM cap; see ops.dense fused_pallas
@@ -104,7 +104,7 @@ def _local_topk_fused_int8(
     rows = codes.shape[0]
     local_k = min(k, rows)
     local_valid = jnp.clip(n_valid - row_offset, 0, rows)
-    bins = 8192
+    bins = 4096  # round-3 default; see ops.dense fused_pallas rationale
     local_batch = max(q.shape[0], 8)
     while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
         bins //= 2
