@@ -471,6 +471,171 @@ def pallas_bin_topk(
     return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
+def _bin_topk_pipelined_kernel(
+    tile_rows: int, bins: int, steal_bits: int, num_tiles: int, n_buffers: int
+):
+    """Manually double-buffered twin of _bin_topk_kernel.
+
+    MEASURED NEGATIVE, kept as the experiment that settles the floor-gap
+    question: streaming the corpus through `n_buffers` explicit
+    make_async_copy slots is bit-identical to the auto-pipelined grid
+    kernel and EXACTLY as fast (1.37-1.40 ms vs 1.37 ms at config 3,
+    across n_buffers 2/3/4 and tile_rows 512/1024). The grid pipeline was
+    already overlapping DMA with compute; the pass is bound by the
+    memory system's effective streaming bandwidth (~458 GB/s observed for
+    this pattern vs the 819 GB/s spec sheet), not by pipelining. The
+    remaining bandwidth lever is smaller bytes — the int8 corpus path.
+    """
+    supertile = bins // tile_rows
+    low_mask = (1 << steal_bits) - 1
+
+    def kernel(
+        n_valid_ref, q_ref, corpus_hbm, packed_out, tiles_vmem, carry, sems
+    ):
+        batch = q_ref.shape[0]
+        carry[:] = jnp.zeros_like(carry)
+
+        def tile_dma(slot, idx):
+            return pltpu.make_async_copy(
+                corpus_hbm.at[pl.ds(idx * tile_rows, tile_rows)],
+                tiles_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        for slot in range(min(n_buffers - 1, num_tiles)):
+            tile_dma(slot, slot).start()
+
+        def body(j, _):
+            slot = lax.rem(j, n_buffers)
+
+            @pl.when(j + n_buffers - 1 < num_tiles)
+            def _():
+                tile_dma(
+                    lax.rem(j + n_buffers - 1, n_buffers), j + n_buffers - 1
+                ).start()
+
+            tile_dma(slot, j).wait()
+            scores = lax.dot_general(
+                tiles_vmem[slot],
+                q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            row = j * tile_rows + lax.broadcasted_iota(
+                jnp.int32, (tile_rows, batch), 0
+            )
+            shifted = jnp.where(row < n_valid_ref[0], scores + _PACK_SHIFT, 0.0)
+            bits = lax.bitcast_convert_type(shifted, jnp.int32)
+            packed = lax.bitcast_convert_type(
+                (bits & ~low_mask) | (j // supertile), jnp.float32
+            )
+            sl = pl.ds(lax.rem(j, supertile) * tile_rows, tile_rows)
+            carry[sl, :] = jnp.maximum(carry[sl, :], packed)
+            return 0
+
+        lax.fori_loop(0, num_tiles, body, 0)
+        packed_out[:] = carry[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "bins", "tile_rows", "n_buffers", "recall_target",
+        "exact_epilogue",
+    ),
+)
+def pallas_bin_topk_pipelined(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    k: int,
+    bins: int = 4096,
+    tile_rows: int = 512,
+    n_buffers: int = 3,
+    recall_target: float = 0.95,
+    exact_epilogue: bool = False,
+):
+    """pallas_bin_topk with manual DMA double/triple buffering.
+
+    Same contract and packing semantics as pallas_bin_topk (shared unpack
+    epilogue); the corpus stays in HBM (pltpu.ANY) and streams through
+    VMEM slots driven by explicit async copies. TPU-only (no interpret
+    mode — manual DMA semantics are not modeled by the interpreter; parity
+    tests run on hardware via bench/TPU-marked tests).
+    """
+    n, dim = corpus.shape
+    real_batch = queries.shape[0]
+    if real_batch % 8:
+        queries = jnp.pad(queries, ((0, -real_batch % 8), (0, 0)))
+    batch = queries.shape[0]
+    if n % tile_rows != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
+    if bins % tile_rows != 0:
+        raise ValueError(f"bins {bins} not a multiple of tile_rows {tile_rows}")
+    if k > bins:
+        raise ValueError(f"k={k} exceeds bins={bins}")
+    num_tiles = n // tile_rows
+    n_supertiles = max(-(-n // bins), 1)
+    steal_bits = max(int(n_supertiles - 1).bit_length(), 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (batch, dim), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (bins, batch), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_buffers, tile_rows, dim), corpus.dtype),
+            pltpu.VMEM((bins, batch), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buffers,)),
+        ],
+    )
+    packed = pl.pallas_call(
+        _bin_topk_pipelined_kernel(
+            tile_rows, bins, steal_bits, num_tiles, n_buffers
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bins, batch), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * batch * dim,
+            bytes_accessed=n * dim * corpus.dtype.itemsize + bins * batch * 4,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(n_valid, dtype=jnp.int32).reshape(1),
+        queries.astype(corpus.dtype),
+        corpus,
+    )[0]
+
+    packed_t = packed.T
+    if exact_epilogue:
+        top_packed, bin_pos = lax.top_k(packed_t, k)
+    else:
+        top_packed, bin_pos = lax.approx_max_k(
+            packed_t, k, recall_target=recall_target
+        )
+        bin_pos = bin_pos.astype(jnp.int32)
+    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
+    low_mask = (1 << steal_bits) - 1
+    winner_supertile = bits & low_mask
+    top_scores = (
+        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    )
+    rows = winner_supertile * bins + bin_pos
+    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "window", "tile_rows", "interpret")
 )

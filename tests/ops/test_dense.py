@@ -424,3 +424,41 @@ class TestSingleQueryBatch:
             jnp.int32(512), k=5, bins=512, tile_rows=256, interpret=True,
         )
         assert scores.shape == (1, 5) and np.asarray(idx).max() < 512
+
+
+@pytest.mark.tpu
+class TestPipelinedKernelOnHardware:
+    """pallas_bin_topk_pipelined is TPU-only (manual DMA has no interpreter
+    model); on hardware it must be bit-identical to the grid kernel."""
+
+    def test_bit_parity_with_grid_kernel(self):
+        import jax
+
+        if jax.default_backend() != "tpu":
+            pytest.skip("needs a real TPU")
+        import jax.numpy as jnp
+
+        from lean_explore_tpu.ops import l2_normalize
+        from lean_explore_tpu.ops.pallas_retrieval import (
+            pallas_bin_topk,
+            pallas_bin_topk_pipelined,
+        )
+
+        rng = np.random.default_rng(0)
+        corpus = np.asarray(
+            l2_normalize(rng.standard_normal((8192, 256)).astype(np.float32))
+        ).astype(jnp.bfloat16)
+        q = np.asarray(
+            l2_normalize(rng.standard_normal((16, 256)).astype(np.float32))
+        )
+        n_valid = jnp.asarray(8000, jnp.int32)
+        s_a, i_a = pallas_bin_topk(
+            jnp.asarray(q), jnp.asarray(corpus), n_valid,
+            k=64, bins=2048, exact_epilogue=True,
+        )
+        s_b, i_b = pallas_bin_topk_pipelined(
+            jnp.asarray(q), jnp.asarray(corpus), n_valid,
+            k=64, bins=2048, exact_epilogue=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+        np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
