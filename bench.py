@@ -364,9 +364,18 @@ def bench_full_pipeline() -> None:
                 source_text=f"def {name} := x{i}",
                 source_link=f"https://example/{i}",
                 dependencies=deps,
+                # BENCH_INFORMAL_WORDS pads informalizations toward
+                # production length (Mathlib informalizations run 50-100
+                # tokens; the default short text is the round-1/2 geometry).
                 informalization=(
                     f"**Thing {i}.** does {words[i % 3000]} "
                     f"{words[(i * 7) % 3000]} stuff {i % 200}"
+                    + "".join(
+                        f" {words[(i * 11 + j) % 3000]}"
+                        for j in range(
+                            int(os.environ.get("BENCH_INFORMAL_WORDS", 0))
+                        )
+                    )
                 ),
             )
         )

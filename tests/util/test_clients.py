@@ -139,6 +139,25 @@ class TestRerankerPrefixKV:
         assert grouped[0] == []
         assert len(grouped[1]) == 2
 
+    def test_identical_documents_share_full_prefix(self, reranker_client):
+        """Identical docs make the common token prefix the whole sequence;
+        the min(len)-1 cap must leave >=1 suffix token and still score
+        identically to the flat path."""
+        docs = ["same document text"] * 4
+        grouped = reranker_client.rerank_grouped_sync(["a query"], [docs])
+        flat = reranker_client.rerank_pairs_sync(["a query"] * 4, docs)
+        np.testing.assert_allclose(grouped[0], flat, atol=1e-4)
+        assert len(set(round(s, 6) for s in grouped[0])) == 1
+
+    def test_truncation_boundary(self, reranker_client):
+        """Documents long enough to truncate at max_length still split/score
+        consistently with the flat path."""
+        long_doc = "word " * 2000  # far beyond max_length tokens
+        docs = [long_doc, "short doc", long_doc + "tail"]
+        grouped = reranker_client.rerank_grouped_sync(["q text"], [docs])
+        flat = reranker_client.rerank_pairs_sync(["q text"] * 3, docs)
+        np.testing.assert_allclose(grouped[0], flat, atol=1e-4)
+
     def test_env_disable_falls_back(self, reranker_client, monkeypatch):
         monkeypatch.setenv("LEAN_EXPLORE_RERANK_PREFIX", "0")
         grouped = reranker_client.rerank_grouped_sync(
