@@ -80,6 +80,11 @@ void le_topk(const double* scores, int64_t n, int64_t k, int64_t* out_indices,
     if (scores[a] != scores[b]) return scores[a] > scores[b];
     return a < b;
   };
+  // Measured A/B (round 3): partial_sort wins. A value-based nth_element +
+  // collection scan ran 1.53 ms vs 1.10 ms here on realistic BM25 score
+  // vectors (n=300k, k=1000, most entries at the delta constant) and
+  // 4.29 ms vs 1.70 ms on gaussian scores — the heap rarely admits new
+  // elements after warm-up, while a partition always pays the full pass.
   std::partial_sort(order.begin(), order.begin() + k, order.end(), better);
   for (int64_t i = 0; i < k; ++i) {
     out_indices[i] = order[i];
