@@ -292,9 +292,9 @@ class RerankerClient:
                 shared = i
             shared = min(shared, min(len(row) for row in token_lists) - 1)
             if shared < self.MIN_SHARED_PREFIX:
-                for pos, (q, d) in enumerate(zip([query] * len(docs), docs)):
-                    fallback_q.append(q)
-                    fallback_d.append(d)
+                for pos, doc in enumerate(docs):
+                    fallback_q.append(query)
+                    fallback_d.append(doc)
                     fallback_slots.append((gi, pos))
                 results[gi] = [0.0] * len(docs)
                 continue
