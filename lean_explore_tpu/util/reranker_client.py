@@ -245,10 +245,11 @@ class RerankerClient:
         longest part of the pair. Here the shared prefix (computed as the
         longest common *token* prefix across the group, so BPE boundary
         merges can never desync it) runs once per query through
-        ``prefix_kv``; document suffixes run as a [D, S] batch attending to
-        the cached prefix, with RoPE positions offset to their true location
-        in the unsplit pair. Scores are numerically the full forward's (same
-        positions, same visible keys); a parity test pins this.
+        ``prefix_kv``; document suffixes run as chunked [C, D, S] batches
+        attending to the cached prefix (rerank_scores_grouped), with RoPE
+        positions offset to their true location in the unsplit pair.
+        Scores are numerically the full forward's (same positions, same
+        visible keys); a parity test pins this.
 
         Disable with LEAN_EXPLORE_RERANK_PREFIX=0 (falls back to the flat
         cross-query path).

@@ -196,6 +196,49 @@ class TestDataCommands:
         assert "No local data" in result.output
 
 
+def make_reference_db(path):
+    import sqlite3
+    import struct
+
+    conn = sqlite3.connect(str(path))
+    conn.executescript(
+        """
+        CREATE TABLE declarations (
+            id INTEGER NOT NULL PRIMARY KEY,
+            name TEXT NOT NULL UNIQUE,
+            module TEXT NOT NULL,
+            docstring TEXT,
+            source_text TEXT NOT NULL,
+            source_link TEXT NOT NULL,
+            dependencies TEXT,
+            informalization TEXT,
+            informalization_embedding BLOB
+        );
+        """
+    )
+    rng = __import__("numpy").random.default_rng(0)
+    for i in range(1, 13):
+        vec = rng.standard_normal(16).astype("float32")
+        vec /= (vec**2).sum() ** 0.5
+        blob = struct.pack(f"{len(vec)}f", *vec)
+        conn.execute(
+            "INSERT INTO declarations VALUES (?,?,?,?,?,?,?,?,?)",
+            (
+                i,
+                f"Ref.decl{i}",
+                f"Ref.Mod{i % 3}",
+                f"doc {i}",
+                f"def decl{i} := {i}",
+                f"https://x/{i}",
+                json.dumps([f"Ref.decl{(i % 12) + 1}"]),
+                f"**Decl {i}.** reference declaration {i}",
+                blob if i <= 10 else None,
+            ),
+        )
+    conn.commit()
+    conn.close()
+
+
 class TestDataConvert:
     """`lean-explore data convert`: a REFERENCE-format lean_explore.db
     (built here with raw SQL + struct-packed float32 blobs, exactly the
@@ -203,47 +246,7 @@ class TestDataConvert:
     servable artifact set."""
 
     def _make_reference_db(self, path):
-        import sqlite3
-        import struct
-
-        conn = sqlite3.connect(str(path))
-        conn.executescript(
-            """
-            CREATE TABLE declarations (
-                id INTEGER NOT NULL PRIMARY KEY,
-                name TEXT NOT NULL UNIQUE,
-                module TEXT NOT NULL,
-                docstring TEXT,
-                source_text TEXT NOT NULL,
-                source_link TEXT NOT NULL,
-                dependencies TEXT,
-                informalization TEXT,
-                informalization_embedding BLOB
-            );
-            """
-        )
-        rng = __import__("numpy").random.default_rng(0)
-        for i in range(1, 13):
-            vec = rng.standard_normal(16).astype("float32")
-            vec /= (vec**2).sum() ** 0.5
-            blob = struct.pack(f"{len(vec)}f", *vec)
-            conn.execute(
-                "INSERT INTO declarations VALUES (?,?,?,?,?,?,?,?,?)",
-                (
-                    i,
-                    f"Ref.decl{i}",
-                    f"Ref.Mod{i % 3}",
-                    f"doc {i}",
-                    f"def decl{i} := {i}",
-                    f"https://x/{i}",
-                    json.dumps([f"Ref.decl{(i % 12) + 1}"]),
-                    f"**Decl {i}.** reference declaration {i}",
-                    blob if i <= 10 else None,
-                ),
-            )
-        conn.commit()
-        conn.close()
-
+        make_reference_db(path)
     def test_convert_and_serve(self, tmp_path):
         import asyncio
 
@@ -563,9 +566,7 @@ class TestFetchConvertServeE2E:
         # directories of 6 files each.
         ref_cache = tmp_path / "ref_cache" / "20250101_000000"
         ref_cache.mkdir(parents=True)
-        TestDataConvert._make_reference_db(
-            TestDataConvert(), ref_cache / "lean_explore.db"
-        )
+        make_reference_db(ref_cache / "lean_explore.db")
         (ref_cache / "informalization_faiss.index").write_bytes(
             b"IVF-FLAT-OPAQUE-BYTES" * 10
         )
