@@ -65,21 +65,29 @@ class Service:
     async def get_by_id(self, declaration_id: int) -> SearchResult | None:
         return await self.engine.get_by_id(declaration_id)
 
-    async def warmup(self, *, rerank: bool = True) -> int:
+    async def warmup(self, *, rerank: bool = True, batch: int = 1) -> int:
         """Compile-and-execute the serving programs before real traffic.
 
         The first query otherwise pays model loading plus XLA compilation of
         the encode / dense-retrieval / rerank programs (tens of seconds on a
         cold chip). Best-effort: installations without local model
-        checkpoints (BM25-only serving) warm what they can. Runs one tiny
-        end-to-end batch; returns elapsed ms.
+        checkpoints (BM25-only serving) warm what they can; returns elapsed
+        ms.
+
+        Args:
+            rerank: Also compile the cross-encoder path.
+            batch: Warm with this many queries. Compiled programs are keyed
+                on padded batch shapes, so a deployment serving B=128 steps
+                should warm with batch=128 (and default rerank_top) to
+                compile the production prefix-KV rerank geometry up front —
+                batch=1 warms the single-query shapes only.
         """
         start = time.time()
-        for rerank_top in ([1, 0] if rerank else [0]):
+        queries = [f"warmup query {i}" for i in range(max(batch, 1))]
+        for rerank_top in ([None, 0] if rerank else [0]):
             try:
-                await self.engine.search_batch(
-                    ["warmup query"], limit=1, rerank_top=rerank_top
-                )
+                kwargs = {} if rerank_top is None else {"rerank_top": rerank_top}
+                await self.engine.search_batch(queries, limit=1, **kwargs)
                 break
             except FileNotFoundError as exc:
                 logger.warning(
