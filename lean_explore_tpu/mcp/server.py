@@ -50,6 +50,13 @@ def _parse_arguments(argv=None) -> argparse.Namespace:
         help="Compile the serving programs (encode/dense/rerank) before "
         "accepting requests, so the first tool call is fast (local backend).",
     )
+    parser.add_argument(
+        "--warmup-batch",
+        type=int,
+        default=1,
+        help="Warm with this many queries (compiled programs are keyed on "
+        "padded batch shapes; match your expected request batching).",
+    )
     return parser.parse_args(argv)
 
 
@@ -101,7 +108,7 @@ def main(argv=None) -> None:
         import asyncio
 
         logger.info("Warming serving programs ...")
-        elapsed_ms = asyncio.run(backend.warmup())
+        elapsed_ms = asyncio.run(backend.warmup(batch=args.warmup_batch))
         logger.info("Warmup done in %d ms", elapsed_ms)
 
     from lean_explore_tpu.mcp import tools  # noqa: F401 — registers tools
