@@ -99,8 +99,12 @@ def bench_model_forward(mode: str) -> None:
 
     # MFU accounting: trunk GEMM FLOPs (the attention score/value products
     # and the single-position LM head are counted too) over the v5e bf16
-    # peak. Elementwise work (RMSNorm/RoPE/softmax/SiLU) is excluded, as is
-    # padding waste — this is the standard conservative MFU definition.
+    # peak. Attention is counted as the FULL [T, T] masked matmul — that is
+    # what the einsum path executes (the causal mask is additive bias, not a
+    # skipped computation), so this measures hardware utilization of the ops
+    # actually issued. A causal "model FLOPs" convention would halve the
+    # attention term. Elementwise work (RMSNorm/RoPE/softmax/SiLU) is
+    # excluded, as is padding waste.
     h, dh = config.hidden_size, config.head_dim
     nq, nkv, inter = (
         config.num_attention_heads,
@@ -108,7 +112,7 @@ def bench_model_forward(mode: str) -> None:
         config.intermediate_size,
     )
     gemm_per_token = 2 * h * (nq * dh + 2 * nkv * dh + nq * dh + 3 * inter)
-    attn_per_token = 2 * 2 * nq * dh * seq  # QK^T + PV, causal ~T/2 * 2 ops
+    attn_per_token = 2 * 2 * nq * dh * seq  # QK^T + PV over all T keys
     flops_per_token = config.num_hidden_layers * (
         gemm_per_token + attn_per_token
     )

@@ -35,9 +35,18 @@ def _try_build() -> None:
     """Best-effort in-tree build: the .so is a build artifact (gitignored),
     so a fresh checkout needs one ``make -C native``. Doing it here keeps
     the native fast path on for every entry point (serving, bench, MCP)
-    without a separate install step; any failure falls back to numpy."""
+    without a separate install step; any failure falls back to numpy.
+
+    The Makefile compiles to a temp file and renames atomically, so
+    concurrent first-calls from several processes can race this build
+    safely — no process can dlopen a half-written library. Set
+    LEAN_EXPLORE_NATIVE_AUTOBUILD=0 to keep first-request latency free of
+    the one-time compile (build at install time with ``make -C native``).
+    """
     import subprocess
 
+    if os.environ.get("LEAN_EXPLORE_NATIVE_AUTOBUILD", "1") == "0":
+        return
     if not (_NATIVE_DIR / "Makefile").exists():
         return
     try:

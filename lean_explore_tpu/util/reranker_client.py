@@ -271,8 +271,8 @@ class RerankerClient:
         from lean_explore_tpu.models.tokenizer import bucket_batch, bucket_length
 
         results: list[list[float]] = [[] for _ in queries]
-        # group records: (out_idx, shared_len, suffix_token_lists)
-        records: list[tuple[int, int, list[list[int]]]] = []
+        # group records: (out_idx, shared_prefix_tokens, suffix_token_lists)
+        records: list[tuple[int, list[int], list[list[int]]]] = []
         fallback_q: list[str] = []
         fallback_d: list[str] = []
         fallback_slots: list[tuple[int, int]] = []  # (group, position)
@@ -300,7 +300,11 @@ class RerankerClient:
                 results[gi] = [0.0] * len(docs)
                 continue
             records.append(
-                (gi, shared, [row[shared:] for row in token_lists])
+                (
+                    gi,
+                    token_lists[0][:shared],
+                    [row[shared:] for row in token_lists],
+                )
             )
 
         pad_id = self.tokenizer.pad_token_id
@@ -332,19 +336,17 @@ class RerankerClient:
             chunk = min(4, bucket_batch(len(recs)))
             g_pad = ((len(recs) + chunk - 1) // chunk) * chunk
             d_pad = max(len(r[2]) for r in recs)
-            p_pad = bucket_length(max(r[1] for r in recs), self.max_length)
+            p_pad = bucket_length(max(len(r[1]) for r in recs), self.max_length)
             prefix_ids = np.full((g_pad, p_pad), pad_id, dtype=np.int32)
             prefix_mask = np.zeros((g_pad, p_pad), dtype=np.int32)
             suffix_ids = np.full((g_pad, d_pad, s_bucket), pad_id, dtype=np.int32)
             suffix_mask = np.zeros((g_pad, d_pad, s_bucket), dtype=np.int32)
             pos_offset = np.zeros((g_pad,), dtype=np.int32)
-            for row, (gi, shared, suffixes) in enumerate(recs):
+            for row, (gi, head, suffixes) in enumerate(recs):
                 # Prefix tokens are identical across the group's pairs by
-                # construction; re-tokenize once from the first pair.
-                pair0 = self._format_pair(queries[gi], docs_grouped[gi][0])
-                head = self.tokenizer(
-                    pair0, truncation=True, max_length=self.max_length
-                )["input_ids"][:shared]
+                # construction; the record carries the first pair's prefix
+                # slice, so no pair is tokenized twice on the host-bound path.
+                shared = len(head)
                 prefix_ids[row, :shared] = head
                 prefix_mask[row, :shared] = 1
                 pos_offset[row] = shared
@@ -382,7 +384,7 @@ class RerankerClient:
 
         for recs, scores in fetches:
             host = np.asarray(scores)
-            for row, (gi, _shared, suffixes) in enumerate(recs):
+            for row, (gi, _head, suffixes) in enumerate(recs):
                 results[gi] = [float(s) for s in host[row, : len(suffixes)]]
 
         if fallback_q:

@@ -284,28 +284,25 @@ namespace {
 
 struct B2J {
     std::unordered_map<uint32_t, std::vector<int32_t>> map;
-    std::unordered_map<uint32_t, bool> popular;  // autojunk set
 };
 
 void build_b2j(const uint32_t* b, int64_t lb, B2J& out) {
     out.map.clear();
-    out.popular.clear();
     for (int32_t j = 0; j < lb; ++j) out.map[b[j]].push_back(j);
     if (lb >= 200) {
+        // Autojunk: popular elements (>1% of b) lose their anchor entries in
+        // b2j, exactly like CPython's bpopular pruning. They are NOT junk for
+        // the extension loops below — with isjunk=None, difflib's bjunk set
+        // is empty, so extension runs over any equal code points.
         const int64_t threshold = lb / 100 + 1;
         for (auto it = out.map.begin(); it != out.map.end();) {
             if (static_cast<int64_t>(it->second.size()) > threshold) {
-                out.popular[it->first] = true;
                 it = out.map.erase(it);
             } else {
                 ++it;
             }
         }
     }
-}
-
-inline bool is_popular(const B2J& b2j, uint32_t ch) {
-    return b2j.popular.find(ch) != b2j.popular.end();
 }
 
 struct Match {
@@ -338,28 +335,16 @@ Match longest_match(const uint32_t* a, const uint32_t* b, const B2J& b2j,
         }
         std::swap(j2len, newj2len);
     }
-    // Extend with non-popular elements, then with popular ones — the two
-    // extension passes of difflib (junk fn is None here, so "junk" means
-    // the autojunk popular set only).
-    while (besti > alo && bestj > blo && !is_popular(b2j, b[bestj - 1]) &&
-           a[besti - 1] == b[bestj - 1]) {
+    // Extension: with isjunk=None difflib's bjunk is empty, so both of its
+    // extension passes reduce to extending over ANY equal code points —
+    // popular (autojunk) elements included; bpopular never gates extension
+    // in CPython, it only pruned the anchor map above.
+    while (besti > alo && bestj > blo && a[besti - 1] == b[bestj - 1]) {
         --besti;
         --bestj;
         ++bestsize;
     }
     while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-           !is_popular(b2j, b[bestj + bestsize]) &&
-           a[besti + bestsize] == b[bestj + bestsize]) {
-        ++bestsize;
-    }
-    while (besti > alo && bestj > blo && is_popular(b2j, b[bestj - 1]) &&
-           a[besti - 1] == b[bestj - 1]) {
-        --besti;
-        --bestj;
-        ++bestsize;
-    }
-    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-           is_popular(b2j, b[bestj + bestsize]) &&
            a[besti + bestsize] == b[bestj + bestsize]) {
         ++bestsize;
     }

@@ -206,6 +206,28 @@ class TestFuzzyNative:
             a = "".join(rng.choice("abcde .") for _ in range(rng.randint(5, 60)))
             b = "".join(rng.choice("abcde .") for _ in range(rng.randint(200, 400)))
             pairs.append((a, b))
+        # Autojunk with MIXED popularity: one char above the 1% threshold
+        # (popular -> anchor-pruned) among many below-threshold chars. The
+        # popular char must still participate in match EXTENSION (CPython's
+        # bpopular never gates the extension loops when isjunk=None); a
+        # popularity-gated extension stops early at these boundaries and
+        # diverges from difflib (advisor round-3 finding).
+        rare = "bcdfgklmnprstvzBCDFGKLMNPRSTVZ0123456789"
+        for _ in range(40):
+            n = rng.randint(200, 420)
+            b_chars = [rng.choice(rare) for _ in range(n)]
+            # "a" appears ~10% of the time: clearly popular.
+            for pos in rng.sample(range(n), n // 10):
+                b_chars[pos] = "a"
+            b = "".join(b_chars)
+            # a = a slice of b (guaranteeing long matches that cross
+            # popular/non-popular boundaries) with light mutation.
+            start = rng.randint(0, n // 2)
+            a_chars = list(b[start : start + rng.randint(20, n - start)])
+            for _ in range(rng.randint(0, 3)):
+                if a_chars:
+                    a_chars[rng.randrange(len(a_chars))] = rng.choice(rare)
+            pairs.append(("".join(a_chars), b))
         pairs.append(("", ""))
         pairs.append(("x", ""))
         pairs.append(("", "y"))
