@@ -34,3 +34,17 @@ from lean_explore_tpu.train.data import (  # noqa: E402
 )
 
 __all__ += ["ContrastiveDataLoader", "pairs_from_store"]
+
+from lean_explore_tpu.train.cross_encoder import (  # noqa: E402
+    CrossEncoderBatch,
+    CrossEncoderDataLoader,
+    cross_encoder_loss,
+    make_ce_train_step,
+)
+
+__all__ += [
+    "CrossEncoderBatch",
+    "CrossEncoderDataLoader",
+    "cross_encoder_loss",
+    "make_ce_train_step",
+]

@@ -62,6 +62,9 @@ class SyntheticCorpus:
     # held-out tail [n_train, n) of `declarations`.
     eval_queries: list[tuple[str, str]]
     n_train: int
+    # Concept-index triple per declaration (aligned with `declarations`);
+    # the overlap structure drives hard-negative mining for the reranker.
+    triples: list[tuple[int, int, int]] | None = None
 
     def texts(self) -> list[str]:
         """Every text the tokenizer must cover (docs, names, queries)."""
@@ -157,7 +160,143 @@ def make_corpus(
         concepts=concepts,
         eval_queries=eval_queries,
         n_train=n_train,
+        triples=triples,
     )
+
+
+def reranker_document(decl: Declaration) -> str:
+    """The document string the engine feeds the cross-encoder
+    (search/engine.py search_batch: ``"{name}: {informalization}"``)."""
+    return (
+        f"{decl.name}: {decl.informalization}"
+        if decl.informalization
+        else decl.name
+    )
+
+
+def make_reranker_examples(
+    corpus: SyntheticCorpus, rng: np.random.Generator
+) -> list[tuple[str, str, int]]:
+    """Labeled (query, document, match?) triples for cross-encoder training.
+
+    Per train-split declaration, for each of its two query forms (spaced
+    name + informal title — the same forms train/data.pairs_from_store
+    uses for the embedder):
+
+    - the matching document (label 1),
+    - a HARD negative sharing 2 of its 3 concepts (label 0) — at serving
+      time the reranker discriminates among the dense top-50, which are
+      precisely the near-misses sharing most concepts; easy negatives
+      alone would teach only "any synonym overlap",
+    - a random negative (label 0).
+    """
+    from lean_explore_tpu.models.search_types import extract_bold_description
+
+    if corpus.triples is None:
+        raise ValueError("corpus built without triples")
+    n_train = corpus.n_train
+    # concept-pair -> train declaration indices containing that pair
+    pair_to_decls: dict[frozenset, list[int]] = {}
+    for i in range(n_train):
+        a, b, c = corpus.triples[i]
+        for pair in (frozenset((a, b)), frozenset((a, c)), frozenset((b, c))):
+            pair_to_decls.setdefault(pair, []).append(i)
+
+    examples: list[tuple[str, str, int]] = []
+    for i in range(n_train):
+        decl = corpus.declarations[i]
+        a, b, c = corpus.triples[i]
+        queries = [decl.name]
+        title = extract_bold_description(decl.informalization or "")
+        if title:
+            queries.append(title)
+
+        hard_candidates = [
+            j
+            for pair in (
+                frozenset((a, b)), frozenset((a, c)), frozenset((b, c))
+            )
+            for j in pair_to_decls.get(pair, ())
+            if j != i
+        ]
+        positive_doc = reranker_document(decl)
+        for q in queries:
+            examples.append((q, positive_doc, 1))
+            if hard_candidates:
+                j = hard_candidates[rng.integers(len(hard_candidates))]
+            else:
+                j = int(rng.integers(n_train))
+            examples.append((q, reranker_document(corpus.declarations[j]), 0))
+            k = int(rng.integers(n_train))
+            if k == i:
+                k = (k + 1) % n_train
+            examples.append((q, reranker_document(corpus.declarations[k]), 0))
+    return examples
+
+
+def make_name_queries(
+    corpus: SyntheticCorpus,
+    rng: np.random.Generator,
+    *,
+    n_per_class: int = 128,
+) -> dict[str, list[tuple[str, str]]]:
+    """Name-style labeled queries — the reference's headline use case.
+
+    The reference's primary documented query class is declaration-name
+    search ('List.map', reference README.md:24), served by the two name
+    BM25 indices (engine.py:192-223) plus the fuzzy-name boost
+    (scoring.py:141-156). The synonym-phrased eval_queries by design carry
+    ZERO name-token signal, so they cannot exercise that path; these three
+    classes do:
+
+    - ``name_exact``: the full dotted name verbatim (raw-index regime).
+    - ``name_fragment``: the base words spaced out, like a user typing
+      "List map" (spaced-index regime).
+    - ``name_typo``: the full name with one character substituted — the
+      raw index misses, the spaced index keeps 2 of 3 base words, and the
+      fuzzy boost (difflib ratio >= 0.7 adds +1.0 in the final fusion)
+      should recover rank 1.
+
+    Targets are drawn from the held-out tail, mirroring eval_queries.
+    """
+    if corpus.triples is None:
+        raise ValueError("corpus built without triples")
+    n = len(corpus.declarations)
+    holdout = list(range(corpus.n_train, n))
+    picks = rng.choice(
+        len(holdout), size=min(3 * n_per_class, len(holdout)), replace=False
+    )
+    classes: dict[str, list[tuple[str, str]]] = {
+        "name_exact": [], "name_fragment": [], "name_typo": [],
+    }
+    alphabet = _CONSONANTS + _VOWELS
+    for slot, p in enumerate(picks):
+        i = holdout[int(p)]
+        decl = corpus.declarations[i]
+        a, b, c = corpus.triples[i]
+        if slot % 3 == 0:
+            classes["name_exact"].append((decl.name, decl.name))
+        elif slot % 3 == 1:
+            frag = " ".join(
+                (corpus.concepts[a].base, corpus.concepts[b].base,
+                 corpus.concepts[c].base)
+            )
+            classes["name_fragment"].append((frag, decl.name))
+        else:
+            # Substitute one character inside a base word (never the dots
+            # or underscores, so tokenization still splits identically).
+            name = decl.name
+            positions = [
+                j for j, ch in enumerate(name) if ch in alphabet
+            ]
+            j = positions[int(rng.integers(len(positions)))]
+            repl = alphabet[int(rng.integers(len(alphabet)))]
+            while repl == name[j]:
+                repl = alphabet[int(rng.integers(len(alphabet)))]
+            classes["name_typo"].append(
+                (name[:j] + repl + name[j + 1 :], decl.name)
+            )
+    return classes
 
 
 def build_wordlevel_tokenizer(

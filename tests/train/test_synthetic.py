@@ -40,6 +40,53 @@ class TestMakeCorpus:
             assert extract_bold_description(d.informalization)
 
 
+class TestNameQueries:
+    def test_classes_and_targets(self):
+        from lean_explore_tpu.train.synthetic import make_name_queries
+
+        corpus = make_corpus(n_decls=300, n_concepts=60, n_eval=20, seed=1)
+        classes = make_name_queries(
+            corpus, np.random.default_rng(0), n_per_class=15
+        )
+        assert set(classes) == {"name_exact", "name_fragment", "name_typo"}
+        names = {d.name for d in corpus.declarations}
+        train_names = {d.name for d in corpus.declarations[: corpus.n_train]}
+        for rows in classes.values():
+            assert rows
+            for _, target in rows:
+                assert target in names and target not in train_names
+
+    def test_exact_queries_are_names(self):
+        from lean_explore_tpu.train.synthetic import make_name_queries
+
+        corpus = make_corpus(n_decls=200, n_concepts=50, n_eval=16, seed=2)
+        classes = make_name_queries(corpus, np.random.default_rng(1))
+        for q, target in classes["name_exact"]:
+            assert q == target
+
+    def test_typo_is_single_char_edit_preserving_structure(self):
+        from lean_explore_tpu.train.synthetic import make_name_queries
+
+        corpus = make_corpus(n_decls=200, n_concepts=50, n_eval=16, seed=3)
+        classes = make_name_queries(corpus, np.random.default_rng(2))
+        for q, target in classes["name_typo"]:
+            assert q != target
+            assert len(q) == len(target)
+            diffs = [i for i, (x, y) in enumerate(zip(q, target)) if x != y]
+            assert len(diffs) == 1
+            # Structure chars untouched: tokenization splits identically.
+            assert target[diffs[0]] not in "._"
+
+    def test_fragment_words_come_from_target_name(self):
+        from lean_explore_tpu.train.synthetic import make_name_queries
+
+        corpus = make_corpus(n_decls=200, n_concepts=50, n_eval=16, seed=4)
+        classes = make_name_queries(corpus, np.random.default_rng(3))
+        for q, target in classes["name_fragment"]:
+            for word in q.split():
+                assert word in target
+
+
 class TestTokenizer:
     def test_vocabulary_covers_corpus_without_blowup(self, tmp_path):
         corpus = make_corpus(n_decls=400, n_concepts=80, n_eval=32, seed=5)
