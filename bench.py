@@ -138,6 +138,134 @@ def bench_model_forward(mode: str) -> None:
     )
 
 
+def bench_forward_anatomy() -> None:
+    """BENCH_MODE=anatomy: itemize the trunk forward's non-GEMM cost.
+
+    Round-3 verdict: the 31.8% serving MFU was explained as "VPU-bound"
+    without an itemized split. This mode measures it by ablation at the
+    0.6B geometry: each variant removes ONE op family (RMSNorm, RoPE,
+    softmax, SiLU) while keeping every matmul, so full - variant ~= that
+    family's wall-clock share (XLA refuses nothing here: ablated graphs
+    are strictly smaller). BENCH_T picks the regime: 32 = serving
+    queries, 128 = production-length rerank suffixes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lean_explore_tpu.models import qwen3
+
+    batch = int(os.environ.get("BENCH_B", 64))
+    seq = int(os.environ.get("BENCH_T", 128))
+    reps = int(os.environ.get("BENCH_DISPATCHES", 3))
+    config = _qwen06b_config()
+    params = jax.device_put(
+        qwen3.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    jax.block_until_ready(params)
+    log(f"anatomy at B={batch} T={seq} (0.6B bf16)")
+
+    nq, nkv, dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    eps = config.rms_norm_eps
+
+    def forward(ids, mask, *, norm=True, rope=True, softmax=True, silu=True):
+        b, t = ids.shape
+        x = jnp.take(params["embed"], ids, axis=0)
+        cos, sin = qwen3._rope_tables(config, t)
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        valid = mask.astype(bool)[:, None, None, :]
+        bias = jnp.where(causal[None, None] & valid, 0.0, -1e9).astype(
+            jnp.float32
+        )
+
+        def rms(v, w):
+            return qwen3._rms_norm(v, w, eps) if norm else v * 1.0
+
+        def layer(x, p):
+            h = rms(x, p["input_norm"])
+            q = (h @ p["q_proj"]).reshape(b, t, nq, dh)
+            k = (h @ p["k_proj"]).reshape(b, t, nkv, dh)
+            v = (h @ p["v_proj"]).reshape(b, t, nkv, dh)
+            q, k = rms(q, p["q_norm"]), rms(k, p["k_norm"])
+            if rope:
+                q = qwen3._apply_rope(q, cos, sin)
+                k = qwen3._apply_rope(k, cos, sin)
+            group = nq // nkv
+            qg = q.reshape(b, t, nkv, group, dh)
+            scores = jnp.einsum(
+                "btkgd,bskd->bkgts", qg, k,
+                preferred_element_type=jnp.float32,
+            ) * (dh**-0.5)
+            scores = scores + bias[:, :, None, :, :]
+            if softmax:
+                probs = jax.nn.softmax(
+                    scores.astype(jnp.float32), axis=-1
+                ).astype(q.dtype)
+            else:
+                probs = (scores * (1.0 / t)).astype(q.dtype)
+            attn = jnp.einsum("bkgts,bskd->btkgd", probs, v).reshape(
+                b, t, nq * dh
+            )
+            x = x + attn @ p["o_proj"]
+            h = rms(x, p["post_norm"])
+            gate = h @ p["gate_proj"]
+            act = jax.nn.silu(gate) if silu else gate
+            mlp = (act * (h @ p["up_proj"])) @ p["down_proj"]
+            return x + mlp, None
+
+        x, _ = lax.scan(layer, x, params["layers"])
+        return rms(x, params["final_norm"]).sum()
+
+    variants = {
+        "full": {},
+        "no_rmsnorm": {"norm": False},
+        "no_rope": {"rope": False},
+        "no_softmax": {"softmax": False},
+        "no_silu": {"silu": False},
+        "gemm_only": {
+            "norm": False, "rope": False, "softmax": False, "silu": False
+        },
+    }
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (reps + 1, batch, seq), 1, config.vocab_size,
+        dtype=jnp.int32,
+    )
+    mask = jnp.ones((batch, seq), jnp.int32)
+    rows = {}
+    for name, kw in variants.items():
+        fn = jax.jit(lambda i, m, kw=kw: forward(i, m, **kw))
+        float(fn(ids[0], mask))  # compile
+        t0 = time.perf_counter()
+        for r in range(reps):
+            float(fn(ids[r + 1], mask))
+        rows[name] = (time.perf_counter() - t0) / reps * 1000.0
+        log(f"{name}: {rows[name]:.1f} ms")
+
+    full = rows["full"]
+    print(
+        json.dumps(
+            {
+                "metric": f"forward_anatomy_b{batch}_t{seq}_bf16",
+                "value": round(full, 2),
+                "unit": "ms/batch (full forward)",
+                "vs_baseline": None,
+                "variants_ms": {k: round(v, 2) for k, v in rows.items()},
+                "op_cost_ms": {
+                    k.removeprefix("no_"): round(full - v, 2)
+                    for k, v in rows.items()
+                    if k.startswith("no_")
+                },
+                "gemm_only_ms": round(rows["gemm_only"], 2),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def bench_fusion_pipeline() -> None:
     """BENCH_MODE=fusion: the full hybrid serving pipeline minus model
     forwards (BM25 spaced+raw retrieve -> dense candidate pool -> RRF ->
@@ -508,6 +636,9 @@ def main() -> None:
     if mode == "fusion":
         bench_fusion_pipeline()
         return
+    if mode == "anatomy":
+        bench_forward_anatomy()
+        return
     if mode == "pipeline":
         bench_full_pipeline()
         return
@@ -580,6 +711,17 @@ def main() -> None:
             corpus_f32 = corpus
     stacked = gen_queries(jax.random.PRNGKey(1))
     jax.block_until_ready((corpus, stacked))
+
+    # HBM headroom at serving residency (corpus + query sets + f32 oracle
+    # copy; the oracle is bench-only — production residency is lower).
+    mem = devices[0].memory_stats() or {}
+    hbm_used = mem.get("bytes_in_use")
+    hbm_limit = mem.get("bytes_limit")
+    if hbm_used is not None:
+        log(
+            f"HBM: {hbm_used / 2**30:.2f} GiB in use"
+            + (f" of {hbm_limit / 2**30:.2f} GiB" if hbm_limit else "")
+        )
 
     def search_fn(q, corpus_arg, kk):
         if corpus_scales is not None:
@@ -696,6 +838,16 @@ def main() -> None:
                 "cpu_exact_scan_qps": round(cpu_exact_qps, 2),
                 "platform": devices[0].platform,
                 "method": method,
+                **(
+                    {
+                        "hbm_gib_in_use": round(hbm_used / 2**30, 2),
+                        "hbm_gib_limit": (
+                            round(hbm_limit / 2**30, 2) if hbm_limit else None
+                        ),
+                    }
+                    if hbm_used is not None
+                    else {}
+                ),
             }
         )
     )

@@ -286,9 +286,9 @@ def _forward_hidden_impl(
 
     def layer(x, p):
         h = _rms_norm(x, p["input_norm"], eps)
-        q = (h @ p["q_proj"]).reshape(batch, seq, nq, dh)
-        k = (h @ p["k_proj"]).reshape(batch, seq, nkv, dh)
-        v = (h @ p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q = _proj(h, p["q_proj"]).reshape(batch, seq, nq, dh)
+        k = _proj(h, p["k_proj"]).reshape(batch, seq, nkv, dh)
+        v = _proj(h, p["v_proj"]).reshape(batch, seq, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = _apply_rope(q, cos, sin)
@@ -297,9 +297,12 @@ def _forward_hidden_impl(
             attn_out = _attention_flash(q, k, v, attention_mask)
         else:
             attn_out = _attention(q, k, v, bias)
-        x = x + attn_out @ p["o_proj"]
+        x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        mlp = _proj(
+            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
+            p["down_proj"],
+        )
         return x + mlp, None
 
     x, _ = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
@@ -460,17 +463,20 @@ def prefix_kv(
 
     def layer(x, p):
         h = _rms_norm(x, p["input_norm"], eps)
-        q = (h @ p["q_proj"]).reshape(batch, seq, nq, dh)
-        k = (h @ p["k_proj"]).reshape(batch, seq, nkv, dh)
-        v = (h @ p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q = _proj(h, p["q_proj"]).reshape(batch, seq, nq, dh)
+        k = _proj(h, p["k_proj"]).reshape(batch, seq, nkv, dh)
+        v = _proj(h, p["v_proj"]).reshape(batch, seq, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
         attn_out = _attention(q, k, v, bias)
-        x = x + attn_out @ p["o_proj"]
+        x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        mlp = _proj(
+            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
+            p["down_proj"],
+        )
         return x + mlp, (k, v)
 
     _, (ks, vs) = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
@@ -563,17 +569,20 @@ def _suffix_forward_scores(
     def layer(x, scanned):
         p, pk, pv = scanned
         h = _rms_norm(x, p["input_norm"], eps)
-        q = (h @ p["q_proj"]).reshape(c, d, s, nq, dh)
-        k = (h @ p["k_proj"]).reshape(c, d, s, nkv, dh)
-        v = (h @ p["v_proj"]).reshape(c, d, s, nkv, dh)
+        q = _proj(h, p["q_proj"]).reshape(c, d, s, nq, dh)
+        k = _proj(h, p["k_proj"]).reshape(c, d, s, nkv, dh)
+        v = _proj(h, p["v_proj"]).reshape(c, d, s, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = rope(q)
         k = rope(k)
         attn_out = _suffix_attention(q, pk, pv, k, v, bias)
-        x = x + attn_out @ p["o_proj"]
+        x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+        mlp = _proj(
+            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
+            p["down_proj"],
+        )
         return x + mlp, None
 
     x, _ = lax.scan(layer, x, (params["layers"], pk_c, pv_c))
@@ -664,6 +673,83 @@ def rerank_scores_grouped(
         ),
     )
     return out.reshape(g, d)
+
+
+# ----------------------------------------------------------------------
+# Int8 trunk (W8A8 dynamic) — reranker throughput path
+# ----------------------------------------------------------------------
+#
+# The v5e MXU runs int8xint8->int32 at 2x the bf16 FLOP rate (394 vs 197
+# TOPS), and the rerank forward is the pipeline's dominant device cost at
+# production document lengths. This path quantizes every linear projection
+# to int8 (per-output-channel weight scales) and dynamically quantizes
+# activations per token (max-abs row scales); attention einsums, norms,
+# RoPE, softmax and the logit head stay bf16/f32. Opt-in via
+# RerankerClient(dtype="int8") / LEAN_EXPLORE_RERANKER_INT8=1; score drift
+# vs the bf16 forward is measured with a trained checkpoint in
+# tests/models_nn/test_qwen3_int8.py and docs/performance.md.
+
+_INT8_PROJS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+    "down_proj",
+)
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Per-output-channel int8 quantization of the linear projections.
+
+    Returns a params pytree where each proj leaf is replaced by a dict
+    ``{"w8": int8 [L, in, out], "scale": f32 [L, 1, out]}``; all other
+    leaves (embed, norms, lm_head) are unchanged.
+    """
+
+    def quant(w):
+        wf = jnp.asarray(w, jnp.float32)
+        scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0  # [L,1,O]
+        scale = jnp.maximum(scale, 1e-12)
+        w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return {"w8": w8, "scale": scale}
+
+    layers = dict(params["layers"])
+    for name in _INT8_PROJS:
+        layers[name] = quant(layers[name])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def _linear_q8(h: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """Dynamic W8A8 linear: h [..., H] @ {w8 [H, O], scale [1, O]}.
+
+    Activations are quantized per row (per token) with max-abs scales, the
+    matmul accumulates int8xint8->int32 on the MXU, and the two scale
+    vectors rescale the result back to h's dtype.
+    """
+    hf = h.astype(jnp.float32)
+    a_scale = jnp.max(jnp.abs(hf), axis=-1, keepdims=True) / 127.0
+    a_scale = jnp.maximum(a_scale, 1e-12)
+    h8 = jnp.clip(jnp.round(hf / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        h8,
+        q["w8"],
+        (((h8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * a_scale * q["scale"]).astype(h.dtype)
+
+
+def _proj(h: jnp.ndarray, p) -> jnp.ndarray:
+    """One linear projection: dense weight matrix or int8 quant dict.
+
+    Every trunk entry point (embed_pool, rerank_scores, prefix_kv, the
+    grouped suffix forward) projects through this dispatch, so
+    ``quantize_params_int8`` output works everywhere without twin
+    forwards; the pytree structure difference simply traces a separate
+    jit specialization.
+    """
+    if isinstance(p, dict):
+        return _linear_q8(h, p)
+    return h @ p
 
 
 @functools.partial(
