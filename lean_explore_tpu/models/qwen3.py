@@ -359,6 +359,42 @@ def embed_pool(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "pad_id", "eos_is_pad")
+)
+def embed_pool_from_ids(
+    params: dict,
+    config: Qwen3Config,
+    input_ids: jnp.ndarray,
+    *,
+    pad_id: int,
+    eos_is_pad: bool = False,
+) -> jnp.ndarray:
+    """embed_pool with the mask derived in-graph from right-padded ids.
+
+    The encode stage is host-bound on small serving hosts (round-3
+    performance.md: 283 ms around a 58 ms forward); shipping only the ids
+    halves the host->device transfers and drops the host-side mask
+    construction. Contract: rows are right-padded with ``pad_id``, content
+    is contiguous from column 0, and real content never contains the pad
+    special (HF tokenizers never emit it for text). ``eos_is_pad`` handles
+    tokenizers whose pad token IS the eos token (e.g. Qwen's BPE): each
+    non-empty row then carries exactly one appended EOS that must stay
+    valid, so the row length is non-pad-count + 1. Every row keeps at
+    least one valid position (padding-only bucket rows pool column 0 and
+    are discarded), exactly like encode_batch's host mask.
+    """
+    seq = input_ids.shape[1]
+    count = jnp.sum(input_ids != pad_id, axis=1)
+    if eos_is_pad:
+        count = count + 1
+    valid_len = jnp.clip(count, 1, seq)
+    mask = (
+        jnp.arange(seq)[None, :] < valid_len[:, None]
+    ).astype(jnp.int32)
+    return embed_pool(params, config, input_ids, mask)
+
+
 def _lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     head = params.get("lm_head")
     if head is None:
