@@ -68,8 +68,11 @@ def bench_model_forward(mode: str) -> None:
     params = jax.device_put(
         qwen3.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     )
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if int8:
+        params = qwen3.quantize_params_int8(params)
     jax.block_until_ready(params)
-    log(f"0.6B params placed; mode={mode} B={batch} T={seq}")
+    log(f"0.6B params placed; mode={mode} B={batch} T={seq} int8={int8}")
 
     def make_inputs(i):
         ids = jax.random.randint(
@@ -124,7 +127,8 @@ def bench_model_forward(mode: str) -> None:
     print(
         json.dumps(
             {
-                "metric": f"qwen3_0.6b_{mode}_b{batch}_t{seq}_bf16",
+                "metric": f"qwen3_0.6b_{mode}_b{batch}_t{seq}_"
+                + ("int8" if int8 else "bf16"),
                 "value": round(throughput, 2),
                 "unit": "texts/sec" if mode == "encode" else "pairs/sec",
                 "vs_baseline": None,
@@ -467,7 +471,12 @@ def bench_full_pipeline() -> None:
     reranker.instruction = "find relevant lean 4 math declarations"
     reranker.batch_size = int(os.environ.get("BENCH_RERANK_BATCH", 128))
     reranker.tokenizer = tokenizer
-    reranker.params, reranker.config = rerank_params, config
+    reranker.int8 = os.environ.get("BENCH_RERANK_INT8", "0") == "1"
+    reranker.params, reranker.config = (
+        qwen3.quantize_params_int8(rerank_params) if reranker.int8
+        else rerank_params,
+        config,
+    )
     reranker.token_true_id = tokenizer.convert_tokens_to_ids("true")
     reranker.token_false_id = tokenizer.convert_tokens_to_ids("false")
 
@@ -575,7 +584,8 @@ def bench_full_pipeline() -> None:
     print(
         json.dumps(
             {
-                "metric": f"e2e_hybrid_rerank{rerank_top}_qps_n{n}_b{batch}",
+                "metric": f"e2e_hybrid_rerank{rerank_top}_qps_n{n}_b{batch}"
+                + ("_rerank-int8" if reranker.int8 else ""),
                 "value": round(qps, 2),
                 "unit": "queries/sec",
                 "vs_baseline": (
