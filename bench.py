@@ -176,7 +176,11 @@ def bench_forward_anatomy() -> None:
     )
     eps = config.rms_norm_eps
 
-    def forward(ids, mask, *, norm=True, rope=True, softmax=True, silu=True):
+    def forward(params, ids, mask, *, norm=True, rope=True, softmax=True,
+                silu=True):
+        # params is an ARGUMENT (not a closure capture): captured device
+        # arrays become jaxpr constants and send XLA constant handling
+        # through the 0.6B weights, inflating compile time enormously.
         b, t = ids.shape
         x = jnp.take(params["embed"], ids, axis=0)
         cos, sin = qwen3._rope_tables(config, t)
@@ -241,11 +245,13 @@ def bench_forward_anatomy() -> None:
     mask = jnp.ones((batch, seq), jnp.int32)
     rows = {}
     for name, kw in variants.items():
-        fn = jax.jit(lambda i, m, kw=kw: forward(i, m, **kw))
-        float(fn(ids[0], mask))  # compile
+        fn = jax.jit(lambda p, i, m, kw=kw: forward(p, i, m, **kw))
+        t0 = time.perf_counter()
+        float(fn(params, ids[0], mask))  # compile
+        log(f"{name}: compiled in {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for r in range(reps):
-            float(fn(ids[r + 1], mask))
+            float(fn(params, ids[r + 1], mask))
         rows[name] = (time.perf_counter() - t0) / reps * 1000.0
         log(f"{name}: {rows[name]:.1f} ms")
 

@@ -244,8 +244,62 @@ class RerankerClient:
 
     MIN_SHARED_PREFIX = 4  # tokens; below this the split costs more than it saves
 
+    def rerank_grouped_cascade_sync(
+        self,
+        queries: list[str],
+        docs_grouped: list[list[str]],
+        *,
+        stage1_doc_tokens: int,
+        keep: int,
+    ) -> list[list[float]]:
+        """Two-stage rerank: truncated prescreen, full-length rescore.
+
+        Production-length documents (~100 tokens) make the cross-encoder
+        FLOP-bound (anatomy bench: 45% MFU with elementwise ops measured
+        at ~0 — no kernel fusion to win, docs/performance.md). The
+        remaining lever is scoring fewer long tokens: stage 1 scores every
+        pair with documents truncated to ``stage1_doc_tokens`` suffix
+        tokens, stage 2 rescores only each query's top-``keep`` at full
+        length. Final scores: stage-2 where rescored, stage-1 otherwise
+        (both are P(true) from the same model; only the fused ranking
+        head consumes them). This intentionally trades parity for
+        throughput — candidates outside the stage-2 set keep truncated
+        scores — so it is an OPT-IN
+        (LEAN_EXPLORE_RERANK_CASCADE="16,12"); the measured quality delta
+        on the trained pipeline is in docs/performance.md.
+        """
+        if keep <= 0 or stage1_doc_tokens <= 0:
+            raise ValueError("keep and stage1_doc_tokens must be positive")
+        stage1 = self.rerank_grouped_sync(
+            queries, docs_grouped, suffix_cap=stage1_doc_tokens
+        )
+        rescore_q: list[str] = []
+        rescore_docs: list[list[str]] = []
+        slots: list[list[int]] = []
+        for query, docs, scores in zip(queries, docs_grouped, stage1):
+            if len(docs) <= keep:
+                # Nothing pruned: full-length rescore of everything.
+                top = list(range(len(docs)))
+            else:
+                top = sorted(
+                    range(len(docs)), key=lambda i: scores[i], reverse=True
+                )[:keep]
+            rescore_q.append(query)
+            rescore_docs.append([docs[i] for i in top])
+            slots.append(top)
+        stage2 = self.rerank_grouped_sync(rescore_q, rescore_docs)
+        out = [list(scores) for scores in stage1]
+        for gi, (top, rescored) in enumerate(zip(slots, stage2)):
+            for pos, score in zip(top, rescored):
+                out[gi][pos] = score
+        return out
+
     def rerank_grouped_sync(
-        self, queries: list[str], docs_grouped: list[list[str]]
+        self,
+        queries: list[str],
+        docs_grouped: list[list[str]],
+        *,
+        suffix_cap: int | None = None,
     ) -> list[list[float]]:
         """Score each query's documents with shared-prefix KV reuse.
 
@@ -310,13 +364,12 @@ class RerankerClient:
                     fallback_slots.append((gi, pos))
                 results[gi] = [0.0] * len(docs)
                 continue
-            records.append(
-                (
-                    gi,
-                    token_lists[0][:shared],
-                    [row[shared:] for row in token_lists],
-                )
-            )
+            suffixes = [row[shared:] for row in token_lists]
+            if suffix_cap is not None:
+                # Cascade stage 1: truncated document suffixes. The shared
+                # prefix (instruction + query) is never truncated.
+                suffixes = [sfx[:suffix_cap] for sfx in suffixes]
+            records.append((gi, token_lists[0][:shared], suffixes))
 
         pad_id = self.tokenizer.pad_token_id
         if pad_id is None:
@@ -407,6 +460,22 @@ class RerankerClient:
     async def rerank_grouped(
         self, queries: list[str], docs_grouped: list[list[str]]
     ) -> list[list[float]]:
+        cascade = os.getenv("LEAN_EXPLORE_RERANK_CASCADE")
+        if cascade:
+            try:
+                stage1_tokens, keep = (int(x) for x in cascade.split(","))
+            except ValueError:
+                raise ValueError(
+                    "LEAN_EXPLORE_RERANK_CASCADE must be "
+                    "'<stage1_doc_tokens>,<keep>', e.g. '16,12'"
+                ) from None
+            return await asyncio.to_thread(
+                self.rerank_grouped_cascade_sync,
+                queries,
+                docs_grouped,
+                stage1_doc_tokens=stage1_tokens,
+                keep=keep,
+            )
         return await asyncio.to_thread(
             self.rerank_grouped_sync, queries, docs_grouped
         )
