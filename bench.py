@@ -563,9 +563,12 @@ def bench_full_pipeline() -> None:
             for i in range(batch)
         ]
 
+    bm25_k = int(os.environ.get("BENCH_BM25_K", 1000))
+
     async def run_batch(qs, timings):
         return await engine.search_batch(
-            qs, limit=20, rerank_top=rerank_top, timings=timings
+            qs, limit=20, rerank_top=rerank_top, bm25_k=bm25_k,
+            timings=timings,
         )
 
     asyncio.run(run_batch(queries_for(999), StageTimings()))  # warm/compile
