@@ -174,14 +174,31 @@ def reranker_document(decl: Declaration) -> str:
     )
 
 
+def _typo(name: str, rng: np.random.Generator) -> str:
+    """Substitute one in-word character, never the dots/underscores."""
+    alphabet = _CONSONANTS + _VOWELS
+    positions = [j for j, ch in enumerate(name) if ch in alphabet]
+    j = positions[int(rng.integers(len(positions)))]
+    repl = alphabet[int(rng.integers(len(alphabet)))]
+    while repl == name[j]:
+        repl = alphabet[int(rng.integers(len(alphabet)))]
+    return name[:j] + repl + name[j + 1 :]
+
+
 def make_reranker_examples(
-    corpus: SyntheticCorpus, rng: np.random.Generator
+    corpus: SyntheticCorpus,
+    rng: np.random.Generator,
+    *,
+    name_variants: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Labeled (query, document, match?) triples for cross-encoder training.
 
-    Per train-split declaration, for each of its two query forms (spaced
-    name + informal title — the same forms train/data.pairs_from_store
-    uses for the embedder):
+    Per train-split declaration, for each of its query forms — spaced
+    name + informal title (the forms train/data.pairs_from_store uses for
+    the embedder), plus, with ``name_variants``, a spaced word fragment
+    and a single-char-typo name (the round-4 query-class eval measured
+    the fragment/typo rank-1 cost of training without them,
+    docs/training.md) — the loader gets:
 
     - the matching document (label 1),
     - a HARD negative sharing 2 of its 3 concepts (label 0) — at serving
@@ -210,6 +227,17 @@ def make_reranker_examples(
         title = extract_bold_description(decl.informalization or "")
         if title:
             queries.append(title)
+        if name_variants:
+            queries.append(
+                " ".join(
+                    (
+                        corpus.concepts[a].base,
+                        corpus.concepts[b].base,
+                        corpus.concepts[c].base,
+                    )
+                )
+            )
+            queries.append(_typo(decl.name, rng))
 
         hard_candidates = [
             j
@@ -226,6 +254,8 @@ def make_reranker_examples(
                 j = hard_candidates[rng.integers(len(hard_candidates))]
             else:
                 j = int(rng.integers(n_train))
+                if j == i:  # fallback must not mislabel the positive
+                    j = (j + 1) % n_train
             examples.append((q, reranker_document(corpus.declarations[j]), 0))
             k = int(rng.integers(n_train))
             if k == i:
@@ -269,7 +299,6 @@ def make_name_queries(
     classes: dict[str, list[tuple[str, str]]] = {
         "name_exact": [], "name_fragment": [], "name_typo": [],
     }
-    alphabet = _CONSONANTS + _VOWELS
     for slot, p in enumerate(picks):
         i = holdout[int(p)]
         decl = corpus.declarations[i]
@@ -285,17 +314,7 @@ def make_name_queries(
         else:
             # Substitute one character inside a base word (never the dots
             # or underscores, so tokenization still splits identically).
-            name = decl.name
-            positions = [
-                j for j, ch in enumerate(name) if ch in alphabet
-            ]
-            j = positions[int(rng.integers(len(positions)))]
-            repl = alphabet[int(rng.integers(len(alphabet)))]
-            while repl == name[j]:
-                repl = alphabet[int(rng.integers(len(alphabet)))]
-            classes["name_typo"].append(
-                (name[:j] + repl + name[j + 1 :], decl.name)
-            )
+            classes["name_typo"].append((_typo(decl.name, rng), decl.name))
     return classes
 
 

@@ -60,6 +60,11 @@ def main() -> None:
     parser.add_argument("--rerank-top", type=int, default=50)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--no-name-variants", action="store_true",
+        help="train on name+title query forms only (the CI miniature uses "
+        "this: fewer forms converge at few hundred steps on CPU)",
+    )
+    parser.add_argument(
         "--platform", choices=("cpu", "tpu"), default="tpu",
         help="tpu amortizes the 3000 fwd+bwd steps; cpu for smoke tests",
     )
@@ -135,7 +140,9 @@ def main() -> None:
     log(f"tokenizer: {tokenizer.vocab_size} tokens (vocab padded {vocab_size})")
 
     rng = np.random.default_rng(args.seed + 1)
-    examples = make_reranker_examples(corpus, rng)
+    examples = make_reranker_examples(
+        corpus, rng, name_variants=not args.no_name_variants
+    )
     n_pos = sum(1 for _, _, y in examples if y)
     log(f"{len(examples)} labeled examples ({n_pos} positive)")
 

@@ -120,14 +120,33 @@ class TestRerankerExamples:
     def test_examples_shape_and_labels(self):
         corpus = make_corpus(n_decls=200, n_concepts=40, n_eval=16, seed=3)
         examples = make_reranker_examples(corpus, np.random.default_rng(0))
-        # 2 query forms x (1 pos + 2 neg) per train declaration.
-        assert len(examples) == corpus.n_train * 6
+        # 4 query forms (name, title, fragment, typo) x (1 pos + 2 neg).
+        assert len(examples) == corpus.n_train * 12
         n_pos = sum(y for _, _, y in examples)
-        assert n_pos == corpus.n_train * 2
+        assert n_pos == corpus.n_train * 4
         for q, doc, label in examples[:50]:
             assert isinstance(q, str) and q
             assert ": " in doc  # engine document format "name: informalization"
             assert label in (0, 1)
+
+    def test_name_variants_off_restores_two_forms(self):
+        corpus = make_corpus(n_decls=100, n_concepts=30, n_eval=8, seed=3)
+        examples = make_reranker_examples(
+            corpus, np.random.default_rng(0), name_variants=False
+        )
+        assert len(examples) == corpus.n_train * 6
+
+    def test_variant_query_forms_present(self):
+        corpus = make_corpus(n_decls=60, n_concepts=24, n_eval=4, seed=9)
+        examples = make_reranker_examples(corpus, np.random.default_rng(1))
+        decl0 = corpus.declarations[0]
+        # Forms come in blocks of 3 per query: name, title, fragment, typo.
+        q_name = examples[0][0]
+        q_fragment = examples[6][0]
+        q_typo = examples[9][0]
+        assert q_name == decl0.name
+        assert " " in q_fragment and "." not in q_fragment
+        assert q_typo != decl0.name and len(q_typo) == len(decl0.name)
 
     def test_positives_use_engine_document_format(self):
         corpus = make_corpus(n_decls=100, n_concepts=30, n_eval=8, seed=4)

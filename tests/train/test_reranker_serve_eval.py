@@ -34,6 +34,7 @@ class TestRerankerServeEval:
                 "--hidden-size", "64",
                 "--num-layers", "2",
                 "--rerank-top", "20",
+                "--no-name-variants",
                 "--platform", "cpu",
             ],
             capture_output=True,
