@@ -68,11 +68,17 @@ def bench_model_forward(mode: str) -> None:
     params = jax.device_put(
         qwen3.init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     )
+    fused = os.environ.get("BENCH_FUSED_QKV", "0") == "1"
+    if fused:
+        params = qwen3.fuse_params_for_serving(params)
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
     if int8:
         params = qwen3.quantize_params_int8(params)
     jax.block_until_ready(params)
-    log(f"0.6B params placed; mode={mode} B={batch} T={seq} int8={int8}")
+    log(
+        f"0.6B params placed; mode={mode} B={batch} T={seq} "
+        f"int8={int8} fused_qkv={fused}"
+    )
 
     def make_inputs(i):
         ids = jax.random.randint(
@@ -128,7 +134,8 @@ def bench_model_forward(mode: str) -> None:
         json.dumps(
             {
                 "metric": f"qwen3_0.6b_{mode}_b{batch}_t{seq}_"
-                + ("int8" if int8 else "bf16"),
+                + ("int8" if int8 else "bf16")
+                + ("_fusedqkv" if fused else ""),
                 "value": round(throughput, 2),
                 "unit": "texts/sec" if mode == "encode" else "pairs/sec",
                 "vs_baseline": None,

@@ -286,9 +286,7 @@ def _forward_hidden_impl(
 
     def layer(x, p):
         h = _rms_norm(x, p["input_norm"], eps)
-        q = _proj(h, p["q_proj"]).reshape(batch, seq, nq, dh)
-        k = _proj(h, p["k_proj"]).reshape(batch, seq, nkv, dh)
-        v = _proj(h, p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q, k, v = _qkv(h, p, (batch, seq), nq, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = _apply_rope(q, cos, sin)
@@ -299,11 +297,7 @@ def _forward_hidden_impl(
             attn_out = _attention(q, k, v, bias)
         x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = _proj(
-            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
-            p["down_proj"],
-        )
-        return x + mlp, None
+        return x + _mlp(h, p), None
 
     x, _ = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
     return _rms_norm(x, params["final_norm"], eps)
@@ -499,9 +493,7 @@ def prefix_kv(
 
     def layer(x, p):
         h = _rms_norm(x, p["input_norm"], eps)
-        q = _proj(h, p["q_proj"]).reshape(batch, seq, nq, dh)
-        k = _proj(h, p["k_proj"]).reshape(batch, seq, nkv, dh)
-        v = _proj(h, p["v_proj"]).reshape(batch, seq, nkv, dh)
+        q, k, v = _qkv(h, p, (batch, seq), nq, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = _apply_rope(q, cos, sin)
@@ -509,11 +501,7 @@ def prefix_kv(
         attn_out = _attention(q, k, v, bias)
         x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = _proj(
-            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
-            p["down_proj"],
-        )
-        return x + mlp, (k, v)
+        return x + _mlp(h, p), (k, v)
 
     _, (ks, vs) = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
     return ks, vs
@@ -605,9 +593,7 @@ def _suffix_forward_scores(
     def layer(x, scanned):
         p, pk, pv = scanned
         h = _rms_norm(x, p["input_norm"], eps)
-        q = _proj(h, p["q_proj"]).reshape(c, d, s, nq, dh)
-        k = _proj(h, p["k_proj"]).reshape(c, d, s, nkv, dh)
-        v = _proj(h, p["v_proj"]).reshape(c, d, s, nkv, dh)
+        q, k, v = _qkv(h, p, (c, d, s), nq, nkv, dh)
         q = _rms_norm(q, p["q_norm"], eps)
         k = _rms_norm(k, p["k_norm"], eps)
         q = rope(q)
@@ -615,11 +601,7 @@ def _suffix_forward_scores(
         attn_out = _suffix_attention(q, pk, pv, k, v, bias)
         x = x + _proj(attn_out, p["o_proj"])
         h = _rms_norm(x, p["post_norm"], eps)
-        mlp = _proj(
-            jax.nn.silu(_proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
-            p["down_proj"],
-        )
-        return x + mlp, None
+        return x + _mlp(h, p), None
 
     x, _ = lax.scan(layer, x, (params["layers"], pk_c, pv_c))
     hidden = _rms_norm(x, params["final_norm"], eps)
@@ -727,7 +709,7 @@ def rerank_scores_grouped(
 
 _INT8_PROJS = (
     "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
-    "down_proj",
+    "down_proj", "qkv_proj", "gate_up_proj",  # fused serving layout
 )
 
 
@@ -748,7 +730,8 @@ def quantize_params_int8(params: dict) -> dict:
 
     layers = dict(params["layers"])
     for name in _INT8_PROJS:
-        layers[name] = quant(layers[name])
+        if name in layers:  # per-projection OR fused serving layout
+            layers[name] = quant(layers[name])
     out = dict(params)
     out["layers"] = layers
     return out
@@ -786,6 +769,60 @@ def _proj(h: jnp.ndarray, p) -> jnp.ndarray:
     if isinstance(p, dict):
         return _linear_q8(h, p)
     return h @ p
+
+
+def fuse_params_for_serving(params: dict) -> dict:
+    """Concatenate q/k/v and gate/up weights into single GEMM operands.
+
+    Three [H, *] projections from the same activation become one
+    [H, (NQ+2*NKV)*DH] matmul (and gate/up one [H, 2I]) — fewer, larger
+    GEMMs for the small-row serving regime. Column-exact: each output
+    column is the identical dot product, so scores are bit-compatible
+    with the unfused layout (a parity test pins this). Serving-only —
+    the training stack and HF import/export keep the per-projection
+    layout; int8-quantized pytrees are rejected (quantize AFTER fusing
+    if both are wanted).
+    """
+    layers = dict(params["layers"])
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        if isinstance(layers.get(name), dict):
+            raise ValueError(
+                "fuse_params_for_serving expects dense weights; apply "
+                "quantize_params_int8 after fusing"
+            )
+    layers["qkv_proj"] = jnp.concatenate(
+        [layers.pop("q_proj"), layers.pop("k_proj"), layers.pop("v_proj")],
+        axis=-1,
+    )
+    layers["gate_up_proj"] = jnp.concatenate(
+        [layers.pop("gate_proj"), layers.pop("up_proj")], axis=-1
+    )
+    return {**params, "layers": layers}
+
+
+def _qkv(h: jnp.ndarray, p: dict, lead: tuple, nq: int, nkv: int, dh: int):
+    """Project q/k/v from either the fused or the per-projection layout."""
+    if "qkv_proj" in p:
+        qkv = _proj(h, p["qkv_proj"])
+        q, k, v = jnp.split(qkv, [nq * dh, (nq + nkv) * dh], axis=-1)
+    else:
+        q = _proj(h, p["q_proj"])
+        k = _proj(h, p["k_proj"])
+        v = _proj(h, p["v_proj"])
+    return (
+        q.reshape(*lead, nq, dh),
+        k.reshape(*lead, nkv, dh),
+        v.reshape(*lead, nkv, dh),
+    )
+
+
+def _mlp(h: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """SwiGLU MLP from either the fused or the per-projection layout."""
+    if "gate_up_proj" in p:
+        gate, up = jnp.split(_proj(h, p["gate_up_proj"]), 2, axis=-1)
+    else:
+        gate, up = _proj(h, p["gate_proj"]), _proj(h, p["up_proj"])
+    return _proj(jax.nn.silu(gate) * up, p["down_proj"])
 
 
 @functools.partial(

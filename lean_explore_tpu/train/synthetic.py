@@ -190,15 +190,19 @@ def make_reranker_examples(
     rng: np.random.Generator,
     *,
     name_variants: bool = True,
+    variant_fraction: float = 0.25,
 ) -> list[tuple[str, str, int]]:
     """Labeled (query, document, match?) triples for cross-encoder training.
 
     Per train-split declaration, for each of its query forms — spaced
     name + informal title (the forms train/data.pairs_from_store uses for
     the embedder), plus, with ``name_variants``, a spaced word fragment
-    and a single-char-typo name (the round-4 query-class eval measured
-    the fragment/typo rank-1 cost of training without them,
-    docs/training.md) — the loader gets:
+    and a single-char-typo name for ``variant_fraction`` of the
+    declarations (the round-4 query-class eval measured the
+    fragment/typo rank-1 cost of training without them; making the
+    variants UNIVERSAL measurably starved the hard semantic form —
+    direct recall collapsed 0.98 -> 0.51 at fixed steps — so they are
+    diluted, not everywhere) — the loader gets:
 
     - the matching document (label 1),
     - a HARD negative sharing 2 of its 3 concepts (label 0) — at serving
@@ -227,7 +231,7 @@ def make_reranker_examples(
         title = extract_bold_description(decl.informalization or "")
         if title:
             queries.append(title)
-        if name_variants:
+        if name_variants and rng.random() < variant_fraction:
             queries.append(
                 " ".join(
                     (

@@ -99,6 +99,10 @@ class EmbeddingClient:
         logger.info("Loading embedding model %s from %s", model_name, resolved)
         self.tokenizer = load_tokenizer(resolved)
         self.params, self.config = load_params(resolved, dtype=jnp.dtype(dtype))
+        if os.getenv("LEAN_EXPLORE_FUSED_QKV") == "1":
+            # Column-exact GEMM fusion (qwen3.fuse_params_for_serving);
+            # opt-in while the measured win is being characterized.
+            self.params = qwen3_mod.fuse_params_for_serving(self.params)
         self.query_prompt = (
             query_prompt if query_prompt is not None else _read_query_prompt(resolved)
         )

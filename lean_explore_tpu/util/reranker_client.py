@@ -81,6 +81,8 @@ class RerankerClient:
         self.int8 = dtype == "int8"
         load_dtype = jnp.bfloat16 if self.int8 else jnp.dtype(dtype)
         self.params, self.config = load_params(resolved, dtype=load_dtype)
+        if os.getenv("LEAN_EXPLORE_FUSED_QKV") == "1":
+            self.params = qwen3_mod.fuse_params_for_serving(self.params)
         if self.int8:
             self.params = qwen3_mod.quantize_params_int8(self.params)
         self.token_true_id = self.tokenizer.convert_tokens_to_ids("true")

@@ -120,10 +120,11 @@ class TestRerankerExamples:
     def test_examples_shape_and_labels(self):
         corpus = make_corpus(n_decls=200, n_concepts=40, n_eval=16, seed=3)
         examples = make_reranker_examples(corpus, np.random.default_rng(0))
-        # 4 query forms (name, title, fragment, typo) x (1 pos + 2 neg).
-        assert len(examples) == corpus.n_train * 12
+        # 2 base query forms always; fragment+typo for ~variant_fraction
+        # of declarations. Each form contributes (1 pos + 2 neg).
+        assert corpus.n_train * 6 < len(examples) < corpus.n_train * 12
         n_pos = sum(y for _, _, y in examples)
-        assert n_pos == corpus.n_train * 4
+        assert n_pos * 3 == len(examples)
         for q, doc, label in examples[:50]:
             assert isinstance(q, str) and q
             assert ": " in doc  # engine document format "name: informalization"
@@ -137,16 +138,19 @@ class TestRerankerExamples:
         assert len(examples) == corpus.n_train * 6
 
     def test_variant_query_forms_present(self):
-        corpus = make_corpus(n_decls=60, n_concepts=24, n_eval=4, seed=9)
-        examples = make_reranker_examples(corpus, np.random.default_rng(1))
-        decl0 = corpus.declarations[0]
-        # Forms come in blocks of 3 per query: name, title, fragment, typo.
-        q_name = examples[0][0]
-        q_fragment = examples[6][0]
-        q_typo = examples[9][0]
-        assert q_name == decl0.name
-        assert " " in q_fragment and "." not in q_fragment
-        assert q_typo != decl0.name and len(q_typo) == len(decl0.name)
+        corpus = make_corpus(n_decls=200, n_concepts=40, n_eval=4, seed=9)
+        examples = make_reranker_examples(
+            corpus, np.random.default_rng(1), variant_fraction=1.0
+        )
+        assert len(examples) == corpus.n_train * 12
+        names = {d.name for d in corpus.declarations}
+        queries = [q for q, _, y in examples if y == 1]
+        fragments = [q for q in queries if " " in q and "." not in q and "*" not in q]
+        typos = [
+            q for q in queries
+            if "." in q and q not in names and " " not in q
+        ]
+        assert fragments and typos
 
     def test_positives_use_engine_document_format(self):
         corpus = make_corpus(n_decls=100, n_concepts=30, n_eval=8, seed=4)
