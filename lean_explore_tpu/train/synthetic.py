@@ -47,6 +47,14 @@ _BODY_TEMPLATE = (
 _TITLE_TEMPLATE = "**The {s0} of a {s1} with {s2}.**"
 _QUERY_TEMPLATE = "which {s0} of some {s1} keeps {s2}"
 
+# Additional synonym phrasings for TRAINING only (make_paraphrase_pairs).
+# Deliberately disjoint from _QUERY_TEMPLATE's function words
+# (which/some/keeps) so evaluation still probes unseen phrasing.
+_PARAPHRASE_TEMPLATES = (
+    "the {s0} over any {s1} having {s2}",
+    "a {s0} for every {s1} respecting {s2}",
+)
+
 
 @dataclass(frozen=True)
 class Concept:
@@ -266,6 +274,38 @@ def make_reranker_examples(
                 k = (k + 1) % n_train
             examples.append((q, reranker_document(corpus.declarations[k]), 0))
     return examples
+
+
+def make_paraphrase_pairs(
+    corpus: SyntheticCorpus,
+) -> list[tuple[str, str]]:
+    """(paraphrased query, document) training pairs over the train split.
+
+    The informal titles expose each synonym in exactly ONE phrasing, so a
+    model trained on (title, doc) pairs alone cannot learn phrasing
+    invariance — measured round 4: held-out template queries capped dense
+    recall@10 at ~0.6 while train accuracy saturated. These pairs restate
+    each train declaration's synonyms in _PARAPHRASE_TEMPLATES (function
+    words disjoint from the eval template), teaching that the phrasing
+    varies and the synonyms carry the meaning.
+    """
+    if corpus.triples is None:
+        raise ValueError("corpus built without triples")
+    pairs: list[tuple[str, str]] = []
+    for i in range(corpus.n_train):
+        decl = corpus.declarations[i]
+        a, b, c = corpus.triples[i]
+        syn = (
+            corpus.concepts[a].synonym,
+            corpus.concepts[b].synonym,
+            corpus.concepts[c].synonym,
+        )
+        for tpl in _PARAPHRASE_TEMPLATES:
+            pairs.append(
+                (tpl.format(s0=syn[0], s1=syn[1], s2=syn[2]),
+                 decl.informalization)
+            )
+    return pairs
 
 
 def make_name_queries(

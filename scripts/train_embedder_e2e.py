@@ -18,15 +18,17 @@ The exported checkpoint is a drop-in for serving:
 
     LEAN_EXPLORE_EMBEDDING_MODEL=runs/embedder/checkpoint lean-explore search ...
 
-Committed result (runs/embedder/eval.json, TPU v5e, default args: 20k
-docs / 1200 concepts / 512 held-out queries, hidden 256 x 4 layers,
-2000 steps): trained dense recall@10 0.592 / MRR 0.367 vs random-init
-0.022 / 0.009 — 27x random through the real engine; fused-selection
-recall@10 on the trained (anisotropic) geometry 0.986. Measured
-negatives while tuning: batch 512 x 800 steps scored WORSE than batch 64
-(0.184 vs 0.227 at hidden 128 — more in-batch negatives but fewer
-effective epochs and an unscaled LR); capacity, not batch, was the
-binding constraint (hidden 128 x 2L: 0.227; hidden 256 x 4L: 0.592).
+Committed result (runs/embedder/eval.json, TPU v5e: 20k docs / 1200
+concepts / 512 held-out queries, hidden 384 x 6 layers, 3000 steps,
+--paraphrases): trained dense recall@10 0.840 / recall@1 0.578 /
+MRR 0.661 vs random-init ~0.01; fused-selection recall@10 on the
+trained (anisotropic) geometry 0.980. Tuning history, all measured:
+batch 512 x 800 steps scored WORSE than batch 64 (0.184 vs 0.227 at
+hidden 128 — fewer effective epochs, unscaled LR); capacity helped but
+saturated (hidden 128 x 2L: 0.227; 256 x 4L: 0.592; 384 x 6L: 0.625);
+the big lever was PHRASING DIVERSITY — titles expose each synonym in
+one template, so --paraphrases (two extra templates, function words
+disjoint from the eval template) took 384 x 6L from 0.625 to 0.840.
 """
 
 import argparse
@@ -63,6 +65,12 @@ def main() -> None:
     parser.add_argument("--query-max-length", type=int, default=12)
     parser.add_argument("--doc-max-length", type=int, default=28)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--paraphrases", action="store_true",
+        help="add paraphrased-synonym training pairs "
+        "(train/synthetic.make_paraphrase_pairs): teaches phrasing "
+        "invariance the single-template titles cannot",
+    )
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
                         help="cpu is deterministic and safe anywhere; tpu "
                         "amortizes each step to the ~28ms dispatch floor")
@@ -114,8 +122,15 @@ def main() -> None:
     store = DeclarationStore(data_dir / "declarations.db", create=True)
     store.insert_many(corpus.declarations)
 
+    extra_texts = (QUERY_PROMPT,)
+    if args.paraphrases:
+        from lean_explore_tpu.train.synthetic import _PARAPHRASE_TEMPLATES
+
+        extra_texts += tuple(
+            tpl.format(s0="", s1="", s2="") for tpl in _PARAPHRASE_TEMPLATES
+        )
     tok_dir = build_wordlevel_tokenizer(
-        corpus.texts(), out / "tokenizer", extra_texts=(QUERY_PROMPT,)
+        corpus.texts(), out / "tokenizer", extra_texts=extra_texts
     )
     tokenizer = load_tokenizer(tok_dir)
     vocab_size = ((tokenizer.vocab_size + 7) // 8) * 8
@@ -126,11 +141,14 @@ def main() -> None:
     train_docs = {
         d.informalization for d in corpus.declarations[: corpus.n_train]
     }
-    pairs = [
-        (QUERY_PROMPT + q, d)
-        for q, d in pairs_from_store(store)
-        if d in train_docs
+    raw_pairs = [
+        (q, d) for q, d in pairs_from_store(store) if d in train_docs
     ]
+    if args.paraphrases:
+        from lean_explore_tpu.train.synthetic import make_paraphrase_pairs
+
+        raw_pairs.extend(make_paraphrase_pairs(corpus))
+    pairs = [(QUERY_PROMPT + q, d) for q, d in raw_pairs]
     log(f"{len(pairs)} training pairs over {corpus.n_train} declarations")
 
     # ----------------------------------------------------------------- train
