@@ -7,6 +7,11 @@ from lean_explore_tpu.parallel.mesh import (
     make_mesh,
     serve_mesh_from_config,
 )
+from lean_explore_tpu.parallel.rerank import (
+    make_sharded_grouped_scorer,
+    rerank_data_mesh,
+    replicate_params,
+)
 from lean_explore_tpu.parallel.sharded import ShardedDenseIndex, make_sharded_topk
 
 __all__ = [
@@ -15,6 +20,9 @@ __all__ = [
     "ShardedDenseIndex",
     "init_distributed",
     "make_mesh",
+    "make_sharded_grouped_scorer",
+    "rerank_data_mesh",
+    "replicate_params",
     "serve_mesh_from_config",
     "make_sharded_topk",
 ]

@@ -46,6 +46,7 @@ class RerankerClient:
         instruction: str = DEFAULT_INSTRUCTION,
         batch_size: int | None = None,
         dtype: str = "bfloat16",
+        mesh=None,
     ):
         """Load tokenizer + params.
 
@@ -57,6 +58,10 @@ class RerankerClient:
             batch_size: Falls back to LEAN_EXPLORE_RERANKER_BATCH_SIZE env,
                 then 64 (TPU default; reference uses 16 CUDA / 32 CPU).
             dtype: Parameter dtype on device.
+            mesh: Optional jax Mesh with a ``data`` axis: parameters are
+                replicated and the grouped prefix-KV path shards query
+                GROUPS over the axis (parallel/rerank.py) — rerank, the
+                dominant serving stage, then scales ~linearly in devices.
         """
         from lean_explore_tpu.util.embedding_client import _resolve_model_dir
 
@@ -85,6 +90,15 @@ class RerankerClient:
             self.params = qwen3_mod.fuse_params_for_serving(self.params)
         if self.int8:
             self.params = qwen3_mod.quantize_params_int8(self.params)
+        self.mesh = mesh
+        self._sharded_scorers: dict = {}
+        if mesh is not None:
+            from lean_explore_tpu.parallel.rerank import replicate_params
+
+            self.params = replicate_params(self.params, mesh)
+            logger.info(
+                "reranker DP over %d devices", mesh.shape["data"]
+            )
         self.token_true_id = self.tokenizer.convert_tokens_to_ids("true")
         self.token_false_id = self.tokenizer.convert_tokens_to_ids("false")
         if self.token_true_id is None or self.token_false_id is None:
@@ -400,7 +414,13 @@ class RerankerClient:
         fetches = []
         for s_bucket, recs in sorted(by_bucket.items()):
             chunk = min(4, bucket_batch(len(recs)))
-            g_pad = ((len(recs) + chunk - 1) // chunk) * chunk
+            # DP over the mesh: shard_map splits the group axis evenly, so
+            # G pads to a multiple of (devices x chunk); pad groups carry
+            # one valid token and their scores are discarded below.
+            g_align = chunk * (
+                self.mesh.shape["data"] if self.mesh is not None else 1
+            )
+            g_pad = ((len(recs) + g_align - 1) // g_align) * g_align
             d_pad = max(len(r[2]) for r in recs)
             p_pad = bucket_length(max(len(r[1]) for r in recs), self.max_length)
             prefix_ids = np.full((g_pad, p_pad), pad_id, dtype=np.int32)
@@ -427,25 +447,49 @@ class RerankerClient:
             empty = ~flat_mask.any(axis=1)
             flat_mask[empty, 0] = 1
 
-            pk, pv = qwen3_mod.prefix_kv(
-                self.params,
-                self.config,
-                jnp.asarray(prefix_ids),
-                jnp.asarray(prefix_mask),
-            )
-            scores = qwen3_mod.rerank_scores_grouped(
-                self.params,
-                self.config,
-                pk,
-                pv,
-                jnp.asarray(prefix_mask),
-                jnp.asarray(suffix_ids),
-                jnp.asarray(suffix_mask),
-                jnp.asarray(pos_offset),
-                token_true=int(self.token_true_id),
-                token_false=int(self.token_false_id),
-                group_chunk=chunk,
-            )
+            if self.mesh is not None:
+                scorer = self._sharded_scorers.get(chunk)
+                if scorer is None:
+                    from lean_explore_tpu.parallel.rerank import (
+                        make_sharded_grouped_scorer,
+                    )
+
+                    scorer = make_sharded_grouped_scorer(
+                        self.config,
+                        self.mesh,
+                        token_true=int(self.token_true_id),
+                        token_false=int(self.token_false_id),
+                        group_chunk=chunk,
+                    )
+                    self._sharded_scorers[chunk] = scorer
+                scores = scorer(
+                    self.params,
+                    jnp.asarray(prefix_ids),
+                    jnp.asarray(prefix_mask),
+                    jnp.asarray(suffix_ids),
+                    jnp.asarray(suffix_mask),
+                    jnp.asarray(pos_offset),
+                )
+            else:
+                pk, pv = qwen3_mod.prefix_kv(
+                    self.params,
+                    self.config,
+                    jnp.asarray(prefix_ids),
+                    jnp.asarray(prefix_mask),
+                )
+                scores = qwen3_mod.rerank_scores_grouped(
+                    self.params,
+                    self.config,
+                    pk,
+                    pv,
+                    jnp.asarray(prefix_mask),
+                    jnp.asarray(suffix_ids),
+                    jnp.asarray(suffix_mask),
+                    jnp.asarray(pos_offset),
+                    token_true=int(self.token_true_id),
+                    token_false=int(self.token_false_id),
+                    group_chunk=chunk,
+                )
             fetches.append((recs, scores))
 
         for recs, scores in fetches:
