@@ -20,7 +20,7 @@ view over the same devices.
 import logging
 
 import jax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lean_explore_tpu.models import qwen3
@@ -88,6 +88,5 @@ def make_sharded_grouped_scorer(
             P("data"),
         ),
         out_specs=P("data"),
-        check_rep=False,  # params enter replicated; no collectives inside
     )
     return jax.jit(sharded)
