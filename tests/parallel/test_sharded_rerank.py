@@ -109,3 +109,9 @@ class TestShardedGroupedScorer:
         client = engine.reranker_client
         assert client.mesh is not None
         assert client.mesh.shape["data"] == 8
+
+        # The embedder gets the same flat data mesh.
+        engine._embedding_client = None
+        engine._embedding_model_name = str(ckpt)
+        emb = engine.embedding_client
+        assert emb.mesh is not None and emb.mesh.shape["data"] == 8
