@@ -93,6 +93,85 @@ class TestShardedGroupedScorer:
         for w_row, g_row in zip(want, got):
             np.testing.assert_allclose(g_row, w_row, atol=1e-5)
 
+    def test_engine_on_mesh_with_rerank_end_to_end(self, monkeypatch, tmp_path):
+        """Service.search_batch with rerank_top>0 on the (2,4) mesh: sharded
+        retrieval feeds the DP-sharded reranker; results equal the fully
+        single-device engine's on the same artifacts and clients."""
+        import asyncio
+        import json
+
+        from lean_explore_tpu.config import Config
+        from lean_explore_tpu.index import (
+            build_index_artifacts,
+            load_index_artifacts,
+        )
+        from lean_explore_tpu.models import Declaration, DeclarationStore
+        from lean_explore_tpu.search.engine import SearchEngine
+        from lean_explore_tpu.search.service import Service
+        from lean_explore_tpu.util.embedding_client import EmbeddingClient
+        from lean_explore_tpu.util.reranker_client import RerankerClient
+
+        from tests.helpers import make_tiny_model_dir
+
+        ckpt = make_tiny_model_dir(tmp_path / "m", with_st_prompt=True)
+        emb = EmbeddingClient(str(ckpt), dtype="float32")
+        store = DeclarationStore(tmp_path / "declarations.db", create=True)
+        texts = [
+            f"**Fact {i}.** the sum of two natural numbers {i}"
+            if i % 2
+            else f"**Fact {i}.** continuous function map of a list {i}"
+            for i in range(40)
+        ]
+        store.insert_many(
+            [
+                Declaration(
+                    name=f"Nat.fact{i}",
+                    module="Nat.Basic",
+                    source_text=f"def f{i} := {i}",
+                    source_link=f"https://x/{i}",
+                    dependencies=json.dumps([f"Nat.fact{(i + 1) % 40}"]),
+                    informalization=texts[i],
+                    informalization_embedding=None,
+                )
+                for i in range(40)
+            ]
+        )
+        vecs = emb.embed_sync(texts)
+        store.set_embeddings(
+            list(zip(range(1, 41), (v.tolist() for v in vecs)))
+        )
+        build_index_artifacts(store, tmp_path)
+
+        def run(mesh_on: bool):
+            monkeypatch.setattr(
+                Config, "MESH_SHAPE", "2,4" if mesh_on else ""
+            )
+            rr_mesh = rerank_data_mesh() if mesh_on else None
+            engine = SearchEngine(
+                str(tmp_path),
+                store=store,
+                artifacts=load_index_artifacts(
+                    str(tmp_path), mesh=None if mesh_on else False
+                ),
+                embedding_client=emb,
+                reranker_client=RerankerClient(
+                    str(ckpt), model_dir=ckpt, dtype="float32", mesh=rr_mesh
+                ),
+            )
+            return asyncio.run(
+                Service(engine).search_batch(
+                    ["sum of natural numbers", "continuous map"],
+                    limit=5,
+                    rerank_top=8,
+                )
+            )
+
+        got = run(True)
+        want = run(False)
+        for g, w in zip(got, want):
+            assert [r.id for r in g.results] == [r.id for r in w.results]
+            assert g.count == w.count > 0
+
     def test_engine_wires_mesh_when_configured(self, monkeypatch, tmp_path):
         """LEAN_EXPLORE_MESH_SHAPE flips the lazy reranker onto a flat
         data mesh over the serve-mesh devices."""
