@@ -93,6 +93,38 @@ class TestShardedGroupedScorer:
         for w_row, g_row in zip(want, got):
             np.testing.assert_allclose(g_row, w_row, atol=1e-5)
 
+    def test_cascade_on_mesh_matches_no_mesh(self, tmp_path):
+        """The two-stage cascade composes with DP sharding: both stages run
+        through the sharded grouped scorer and match the single-device
+        cascade."""
+        from lean_explore_tpu.util.reranker_client import RerankerClient
+
+        from tests.helpers import make_tiny_model_dir
+
+        ckpt = make_tiny_model_dir(tmp_path / "m")
+        plain = RerankerClient(str(ckpt), model_dir=ckpt, dtype="float32")
+        sharded = RerankerClient(
+            str(ckpt), model_dir=ckpt, dtype="float32",
+            mesh=rerank_data_mesh(devices=jax.devices()),
+        )
+        queries = ["nat add comm", "list map"]
+        docs = [
+            ["the sum of two natural numbers and more words here",
+             "continuous function map of numbers", "prime numbers of a b",
+             "addition of natural numbers the sum"],
+            ["function map of a list of many words",
+             "the sum of two numbers", "nat add of two",
+             "continuous prime function"],
+        ]
+        want = plain.rerank_grouped_cascade_sync(
+            queries, docs, stage1_doc_tokens=4, keep=2
+        )
+        got = sharded.rerank_grouped_cascade_sync(
+            queries, docs, stage1_doc_tokens=4, keep=2
+        )
+        for w_row, g_row in zip(want, got):
+            np.testing.assert_allclose(g_row, w_row, atol=1e-5)
+
     def test_engine_on_mesh_with_rerank_end_to_end(self, monkeypatch, tmp_path):
         """Service.search_batch with rerank_top>0 on the (2,4) mesh: sharded
         retrieval feeds the DP-sharded reranker; results equal the fully
