@@ -492,6 +492,8 @@ def bench_full_pipeline() -> None:
     )
     reranker.token_true_id = tokenizer.convert_tokens_to_ids("true")
     reranker.token_false_id = tokenizer.convert_tokens_to_ids("false")
+    reranker.mesh = None
+    reranker._sharded_scorers = {}
 
     # Corpus: metadata rows on host sqlite; dense matrix generated on device
     # (bulk tunnel uploads are pathological; values don't affect throughput).

@@ -276,12 +276,27 @@ class RerankerClient:
         remaining lever is scoring fewer long tokens: stage 1 scores every
         pair with documents truncated to ``stage1_doc_tokens`` suffix
         tokens, stage 2 rescores only each query's top-``keep`` at full
-        length. Final scores: stage-2 where rescored, stage-1 otherwise
-        (both are P(true) from the same model; only the fused ranking
-        head consumes them). This intentionally trades parity for
-        throughput — candidates outside the stage-2 set keep truncated
-        scores — so it is an OPT-IN
-        (LEAN_EXPLORE_RERANK_CASCADE="16,12"); the measured quality delta
+        length. Composition is ordinal, the standard multi-stage-ranking
+        contract: rescored candidates carry their stage-2 scores;
+        pruned candidates keep their stage-1 relative order in a thin
+        band strictly BELOW every rescored score. Raw mixing
+        of the two score families is not sound — truncated and
+        full-length P(true) are differently calibrated, and when
+        truncated scores run systematically higher the pruned tail
+        (the stage-1 WORST candidates) floats above the rescored top
+        (measured: recall@10 0.46 at keep=40/50 under raw mixing vs
+        0.96 for the full pipeline; docs/performance.md). Quality is
+        governed by stage-1 gold coverage — P(gold's truncated-score
+        rank <= keep): at a coverage-complete ``stage1_doc_tokens`` the
+        cascade matches or beats the full pipeline (measured 32,8:
+        recall@1 +0.04, recall@10 identical, 2x production-length
+        throughput), while lossy caps rank gold worse than random and
+        collapse regardless of ``keep`` (measured <=16 tokens on
+        22-word documents); at keep >= n_docs it equals the full
+        pipeline exactly. Measure coverage for a deployment's document
+        lengths with scripts/measure_prescreen_coverage.py. Still an
+        OPT-IN (LEAN_EXPLORE_RERANK_CASCADE="32,8") since pruned
+        candidates never see full-length scoring; the measured frontier
         on the trained pipeline is in docs/performance.md.
         """
         if keep <= 0 or stage1_doc_tokens <= 0:
@@ -308,6 +323,22 @@ class RerankerClient:
         for gi, (top, rescored) in enumerate(zip(slots, stage2)):
             for pos, score in zip(top, rescored):
                 out[gi][pos] = score
+            pruned = [i for i in range(len(out[gi])) if i not in set(top)]
+            if pruned and rescored:
+                # Ordinal composition: pruned candidates keep stage-1 order
+                # in a THIN band just under the worst rescored score. The
+                # band must be thin because downstream fusion min-max
+                # normalizes the group's rerank scores — a wide tail would
+                # stretch the range and compress the rescored candidates'
+                # normalized spread until bm25/dep noise outvotes them
+                # (measured: recall@1 0.49 vs 0.80 at keep=25 with
+                # stage-1-spacing-preserving placement).
+                floor = min(rescored)
+                order = sorted(
+                    pruned, key=lambda i: stage1[gi][i], reverse=True
+                )
+                for j, i in enumerate(order):
+                    out[gi][i] = floor - 1e-4 * (j + 1)
         return out
 
     def rerank_grouped_sync(
@@ -513,7 +544,7 @@ class RerankerClient:
             except ValueError:
                 raise ValueError(
                     "LEAN_EXPLORE_RERANK_CASCADE must be "
-                    "'<stage1_doc_tokens>,<keep>', e.g. '16,12'"
+                    "'<stage1_doc_tokens>,<keep>', e.g. '32,8'"
                 ) from None
             return await asyncio.to_thread(
                 self.rerank_grouped_cascade_sync,

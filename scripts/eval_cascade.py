@@ -1,10 +1,12 @@
 """Quality delta of the rerank cascade on the trained full pipeline.
 
 The cascade (truncated stage-1 prescreen + full-length rescore of the
-top-keep) reaches 31.7-36.9 q/s at production document lengths vs 14.5
-for the parity path (docs/performance.md). This measures what it costs in
-ranking quality through the REAL engine with trained weights at every
-stage: full-pipeline recall/MRR with cascade off vs on.
+top-keep, ordinal composition) reaches 28.5 q/s at production document
+lengths vs 14.5 for the parity path (docs/performance.md). This measures
+what it costs in ranking quality through the REAL engine with trained
+weights at every stage: full-pipeline recall/MRR with cascade off vs on.
+Pick candidate operating points from scripts/measure_prescreen_coverage.py
+first — quality tracks stage-1 gold coverage.
 
     python scripts/eval_cascade.py --out runs/cascade_eval.json
 """
@@ -92,11 +94,19 @@ def main() -> None:
 
     report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval},
               "results": {}}
+    # Operating points: the prescreen token budget is the quality lever
+    # (gold top-16 coverage at stage 1: ~100% at 32 doc tokens, ~50% at
+    # 12 — measured prescreen-coverage table in docs/performance.md).
+    # 12,25 stays as the illustration that a larger keep cannot rescue a
+    # lossy prescreen.
     for label, env in (
         ("full_pipeline", None),
+        ("cascade_32_16", "32,16"),
+        ("cascade_32_8", "32,8"),
+        ("cascade_24_12", "24,12"),
         ("cascade_16_12", "16,12"),
         ("cascade_12_8", "12,8"),
-        ("cascade_8_6", "8,6"),
+        ("cascade_12_25", "12,25"),
     ):
         if env is None:
             os.environ.pop("LEAN_EXPLORE_RERANK_CASCADE", None)

@@ -58,15 +58,33 @@ class TestCascade:
                 key=lambda i: stage1[gi][i],
                 reverse=True,
             )[:2]
-            for pos in range(len(DOCS[gi])):
-                if pos in top:
-                    assert got[gi][pos] == pytest.approx(
-                        full[gi][pos], abs=1e-6
-                    )
-                else:
-                    assert got[gi][pos] == pytest.approx(
-                        stage1[gi][pos], abs=1e-6
-                    )
+            for pos in top:
+                assert got[gi][pos] == pytest.approx(
+                    full[gi][pos], abs=1e-6
+                )
+
+    def test_pruned_docs_rank_below_rescored_in_stage1_order(self, client):
+        """Ordinal composition: every pruned candidate scores strictly
+        below every rescored one, and pruned candidates keep their
+        stage-1 relative order (raw score mixing is not sound — the two
+        P(true) families are differently calibrated)."""
+        got = client.rerank_grouped_cascade_sync(
+            QUERIES, DOCS, stage1_doc_tokens=4, keep=2
+        )
+        stage1 = client.rerank_grouped_sync(QUERIES, DOCS, suffix_cap=4)
+        for gi in range(len(QUERIES)):
+            order = sorted(
+                range(len(DOCS[gi])),
+                key=lambda i: stage1[gi][i],
+                reverse=True,
+            )
+            top, pruned = order[:2], order[2:]
+            floor = min(got[gi][pos] for pos in top)
+            for pos in pruned:
+                assert got[gi][pos] < floor
+            # stage-1 order preserved within the pruned tail
+            pruned_scores = [got[gi][pos] for pos in pruned]
+            assert pruned_scores == sorted(pruned_scores, reverse=True)
 
     def test_suffix_cap_changes_scores(self, client):
         """Truncation must actually shorten what the model sees."""
