@@ -47,6 +47,29 @@ _BODY_TEMPLATE = (
 _TITLE_TEMPLATE = "**The {s0} of a {s1} with {s2}.**"
 _QUERY_TEMPLATE = "which {s0} of some {s1} keeps {s2}"
 
+# Extra body sentences for ``body_sentences > 1`` (production-length
+# documents). Real Mathlib informalizations are ~80-120 words with the
+# discriminative bold title leading and the concept words recurring
+# through generic mathematical prose; these templates mirror that —
+# each repeats the declaration's base words (rotated positions) amid
+# filler vocabulary shared by EVERY declaration, so later sentences
+# carry some signal but are mostly non-discriminative, like real proofs
+# restating their subject amid standard language.
+_EXTRA_BODY_TEMPLATES = (
+    "Moreover the hypothesis requires that each {b1} admits a canonical "
+    "{b0} whose image factors through the {b2} in the evident way .",
+    "The proof proceeds by induction over the structure of the {b2} , "
+    "reducing the general case to the {b0} of a single {b1} .",
+    "As a consequence every morphism compatible with the {b0} descends "
+    "to the quotient and the {b1} inherits the {b2} canonically .",
+    "This generalizes the classical statement in which the {b2} is "
+    "trivial and the {b0} agrees with the identity on each {b1} .",
+    "Under the additional assumption that the {b1} is finite , the "
+    "{b2} commutes with arbitrary limits taken along the {b0} .",
+    "See also the dual statement , obtained by replacing the {b0} with "
+    "its opposite and the {b2} with the corresponding {b1} structure .",
+)
+
 # Additional synonym phrasings for TRAINING only (make_paraphrase_pairs).
 # Deliberately disjoint from _QUERY_TEMPLATE's function words
 # (which/some/keeps) so evaluation still probes unseen phrasing.
@@ -114,8 +137,17 @@ def make_corpus(
     n_eval: int = 256,
     holdout_fraction: float = 0.2,
     seed: int = 0,
+    body_sentences: int = 1,
 ) -> SyntheticCorpus:
-    """Build the corpus, its concept vocabulary, and held-out eval queries."""
+    """Build the corpus, its concept vocabulary, and held-out eval queries.
+
+    ``body_sentences`` > 1 appends extra body prose per declaration
+    (_EXTRA_BODY_TEMPLATES, cycled with rotated base-word positions),
+    producing production-length documents (~95 words at 6 sentences vs
+    the default ~22) with the discriminative title still leading — the
+    regime the rerank-cascade prescreen and production throughput rows
+    are measured in (docs/performance.md).
+    """
     rng = np.random.default_rng(seed)
     concepts = make_concepts(n_concepts, rng)
 
@@ -139,6 +171,18 @@ def make_corpus(
         name = f"{root}.{ca.base}_{cb.base}.of_{cc.base}"
         title = _TITLE_TEMPLATE.format(s0=ca.synonym, s1=cb.synonym, s2=cc.synonym)
         body = _BODY_TEMPLATE.format(b0=ca.base, b1=cb.base, b2=cc.base)
+        if body_sentences > 1:
+            bases = (ca.base, cb.base, cc.base)
+            extra = []
+            for s in range(body_sentences - 1):
+                tpl = _EXTRA_BODY_TEMPLATES[(i + s) % len(_EXTRA_BODY_TEMPLATES)]
+                r = (i + s) % 3  # rotate which base word sits where
+                extra.append(
+                    tpl.format(
+                        b0=bases[r], b1=bases[(r + 1) % 3], b2=bases[(r + 2) % 3]
+                    )
+                )
+            body = " ".join([body, *extra])
         declarations.append(
             Declaration(
                 name=name,

@@ -39,6 +39,18 @@ def main() -> None:
     parser.add_argument("--n-concepts", type=int, default=1200)
     parser.add_argument("--n-eval", type=int, default=512)
     parser.add_argument("--rerank-top", type=int, default=50)
+    parser.add_argument(
+        "--body-sentences", type=int, default=1,
+        help="body sentences per doc (6 ~= production length; raise the "
+        "max-lengths to match)",
+    )
+    parser.add_argument("--emb-max-length", type=int, default=64)
+    parser.add_argument("--rr-max-length", type=int, default=128)
+    parser.add_argument(
+        "--points", type=str, nargs="+", default=None,
+        help="cascade operating points as '<cap>,<keep>' (default sweep "
+        "spans the coverage cliff measured on the 22-word corpus)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="tpu")
     args = parser.parse_args()
@@ -61,6 +73,7 @@ def main() -> None:
         n_concepts=args.n_concepts,
         n_eval=args.n_eval,
         seed=args.seed,
+        body_sentences=args.body_sentences,
     )
     work = args.out.parent / "cascade_work"
     if work.exists():
@@ -71,7 +84,8 @@ def main() -> None:
 
     log("embedding corpus ...")
     emb_client = EmbeddingClient(
-        str(args.embedder), max_length=64, batch_size=256, dtype="float32"
+        str(args.embedder), max_length=args.emb_max_length, batch_size=256,
+        dtype="float32",
     )
     ids, texts = [], []
     for decl in store.iter_all(with_embeddings=False):
@@ -88,12 +102,15 @@ def main() -> None:
         embedding_client=emb_client,
         reranker_client=RerankerClient(
             str(args.reranker), model_dir=args.reranker,
-            max_length=128, dtype="float32",
+            max_length=args.rr_max_length, dtype="float32",
         ),
     )
 
-    report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval},
+    report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval,
+                       "body_sentences": args.body_sentences},
               "results": {}}
+    default_points = ["32,16", "32,8", "24,12", "16,12", "12,8", "12,25"]
+    points = args.points if args.points else default_points
     # Operating points: the prescreen token budget is the quality lever
     # (gold top-16 coverage at stage 1: ~100% at 32 doc tokens, ~50% at
     # 12 — measured prescreen-coverage table in docs/performance.md).
@@ -101,12 +118,7 @@ def main() -> None:
     # lossy prescreen.
     for label, env in (
         ("full_pipeline", None),
-        ("cascade_32_16", "32,16"),
-        ("cascade_32_8", "32,8"),
-        ("cascade_24_12", "24,12"),
-        ("cascade_16_12", "16,12"),
-        ("cascade_12_8", "12,8"),
-        ("cascade_12_25", "12,25"),
+        *((f"cascade_{p.replace(',', '_')}", p) for p in points),
     ):
         if env is None:
             os.environ.pop("LEAN_EXPLORE_RERANK_CASCADE", None)

@@ -52,6 +52,12 @@ def main() -> None:
     parser.add_argument("--n-eval", type=int, default=192)
     parser.add_argument("--rerank-top", type=int, default=50)
     parser.add_argument(
+        "--body-sentences", type=int, default=1,
+        help="body sentences per doc (6 ~= production length)",
+    )
+    parser.add_argument("--emb-max-length", type=int, default=64)
+    parser.add_argument("--rr-max-length", type=int, default=128)
+    parser.add_argument(
         "--caps", type=int, nargs="+", default=[8, 12, 16, 24, 32, 48, 64]
     )
     parser.add_argument("--seed", type=int, default=0)
@@ -78,6 +84,7 @@ def main() -> None:
         n_concepts=args.n_concepts,
         n_eval=args.n_eval,
         seed=args.seed,
+        body_sentences=args.body_sentences,
     )
     target_by_query = dict(corpus.eval_queries)
 
@@ -90,7 +97,8 @@ def main() -> None:
 
     log("embedding corpus ...")
     emb_client = EmbeddingClient(
-        str(args.embedder), max_length=64, batch_size=256, dtype="float32"
+        str(args.embedder), max_length=args.emb_max_length, batch_size=256,
+        dtype="float32",
     )
     ids, texts = [], []
     for decl in store.iter_all(with_embeddings=False):
@@ -103,7 +111,7 @@ def main() -> None:
     client = RerankerClient(
         str(args.reranker),
         model_dir=args.reranker,
-        max_length=128,
+        max_length=args.rr_max_length,
         dtype="float32",
     )
 
@@ -137,6 +145,7 @@ def main() -> None:
             "n_decls": args.n_decls,
             "n_eval": args.n_eval,
             "rerank_top": args.rerank_top,
+            "body_sentences": args.body_sentences,
         },
         "doc_words": {
             "median": float(np.median(doc_words)),

@@ -64,6 +64,15 @@ def main() -> None:
     parser.add_argument("--num-layers", type=int, default=4)
     parser.add_argument("--query-max-length", type=int, default=12)
     parser.add_argument("--doc-max-length", type=int, default=28)
+    parser.add_argument(
+        "--body-sentences", type=int, default=1,
+        help="body sentences per document (6 ~= production-length ~95-word "
+        "docs; raise --doc-max-length and --serve-max-length to match)",
+    )
+    parser.add_argument(
+        "--serve-max-length", type=int, default=64,
+        help="EmbeddingClient max_length for corpus embedding + eval",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--paraphrases", action="store_true",
@@ -114,6 +123,7 @@ def main() -> None:
         n_concepts=args.n_concepts,
         n_eval=args.n_eval,
         seed=args.seed,
+        body_sentences=args.body_sentences,
     )
     data_dir = out / "data"
     if data_dir.exists():
@@ -215,6 +225,7 @@ def main() -> None:
         "task": {
             "n_decls": args.n_decls,
             "n_concepts": args.n_concepts,
+            "body_sentences": args.body_sentences,
             "n_train_decls": corpus.n_train,
             "n_eval_queries": len(corpus.eval_queries),
             "holdout": "eval targets excluded from training pairs",
@@ -232,7 +243,7 @@ def main() -> None:
     for label, ckpt in (("random_init", random_ckpt), ("trained", trained_ckpt)):
         log(f"embedding corpus + serving eval with {label} weights ...")
         client = EmbeddingClient(
-            str(ckpt), max_length=64, batch_size=256, dtype="float32"
+            str(ckpt), max_length=args.serve_max_length, batch_size=256, dtype="float32"
         )
         ids, texts = [], []
         for decl in store.iter_all(with_embeddings=False):
@@ -269,7 +280,7 @@ def main() -> None:
     from lean_explore_tpu.ops import dense_topk
 
     client = EmbeddingClient(
-        str(trained_ckpt), max_length=64, batch_size=256, dtype="float32"
+        str(trained_ckpt), max_length=args.serve_max_length, batch_size=256, dtype="float32"
     )
     q_vecs = client.embed_device(
         [q for q, _ in corpus.eval_queries[:128]], is_query=True

@@ -57,6 +57,19 @@ def main() -> None:
     parser.add_argument("--hidden-size", type=int, default=256)
     parser.add_argument("--num-layers", type=int, default=4)
     parser.add_argument("--max-length", type=int, default=96)
+    parser.add_argument(
+        "--body-sentences", type=int, default=1,
+        help="body sentences per document (6 ~= production-length docs; "
+        "raise --max-length/--client-max-length/--serve-max-length too)",
+    )
+    parser.add_argument(
+        "--client-max-length", type=int, default=128,
+        help="RerankerClient pair max_length at direct/pipeline eval",
+    )
+    parser.add_argument(
+        "--serve-max-length", type=int, default=64,
+        help="EmbeddingClient max_length for corpus embedding",
+    )
     parser.add_argument("--rerank-top", type=int, default=50)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -116,6 +129,7 @@ def main() -> None:
         n_concepts=args.n_concepts,
         n_eval=args.n_eval,
         seed=args.seed,
+        body_sentences=args.body_sentences,
     )
     data_dir = out / "data"
     if data_dir.exists():
@@ -208,6 +222,7 @@ def main() -> None:
         "task": {
             "n_decls": args.n_decls,
             "n_concepts": args.n_concepts,
+            "body_sentences": args.body_sentences,
             "n_train_decls": corpus.n_train,
             "n_eval_queries": len(corpus.eval_queries),
             "n_examples": len(examples),
@@ -234,7 +249,8 @@ def main() -> None:
     holdout_range = (corpus.n_train, len(corpus.declarations))
     for label, ckpt in (("random_init", random_ckpt), ("trained", trained_ckpt)):
         client = RerankerClient(
-            str(ckpt), model_dir=ckpt, max_length=128, dtype="float32"
+            str(ckpt), model_dir=ckpt, max_length=args.client_max_length,
+            dtype="float32"
         )
         d_rng = np.random.default_rng(args.seed + 2)
         queries, docs_grouped, hits = [], [], 0
@@ -266,7 +282,8 @@ def main() -> None:
     # ------------------------------------------------------- pipeline eval
     log("embedding corpus with the trained embedder ...")
     emb_client = EmbeddingClient(
-        str(args.embedder), max_length=64, batch_size=256, dtype="float32"
+        str(args.embedder), max_length=args.serve_max_length,
+        batch_size=256, dtype="float32"
     )
     ids, texts = [], []
     for decl in store.iter_all(with_embeddings=False):
@@ -283,12 +300,12 @@ def main() -> None:
     build_index_artifacts(store, art_dir)
 
     rr_trained = RerankerClient(
-        str(trained_ckpt), model_dir=trained_ckpt, max_length=128,
-        dtype="float32",
+        str(trained_ckpt), model_dir=trained_ckpt,
+        max_length=args.client_max_length, dtype="float32",
     )
     rr_random = RerankerClient(
-        str(random_ckpt), model_dir=random_ckpt, max_length=128,
-        dtype="float32",
+        str(random_ckpt), model_dir=random_ckpt,
+        max_length=args.client_max_length, dtype="float32",
     )
 
     def make_engine(reranker) -> SearchEngine:
