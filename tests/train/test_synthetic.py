@@ -40,6 +40,49 @@ class TestMakeCorpus:
             assert extract_bold_description(d.informalization)
 
 
+class TestBodySentences:
+    def test_default_is_single_sentence(self):
+        a = make_corpus(n_decls=50, n_concepts=30, n_eval=8, seed=5)
+        b = make_corpus(
+            n_decls=50, n_concepts=30, n_eval=8, seed=5, body_sentences=1
+        )
+        assert [d.informalization for d in a.declarations] == [
+            d.informalization for d in b.declarations
+        ]
+
+    def test_production_length_and_title_leading(self):
+        """body_sentences=5 reaches the ~110-word production regime with
+        the discriminative bold title still first (the prescreen-cascade
+        assumption: a small doc-token cap captures the title)."""
+        from lean_explore_tpu.models.search_types import extract_bold_description
+
+        short = make_corpus(n_decls=80, n_concepts=40, n_eval=10, seed=6)
+        long = make_corpus(
+            n_decls=80, n_concepts=40, n_eval=10, seed=6, body_sentences=5
+        )
+        words = [len(d.informalization.split()) for d in long.declarations]
+        assert 95 <= float(np.median(words)) <= 125
+        for s, l in zip(short.declarations, long.declarations):
+            assert s.name == l.name
+            assert l.informalization.startswith("**")
+            assert extract_bold_description(
+                l.informalization
+            ) == extract_bold_description(s.informalization)
+            # extra prose extends, never replaces, the parity body
+            assert l.informalization.startswith(s.informalization)
+
+    def test_extra_sentences_reuse_only_base_words(self):
+        """Later sentences restate the declaration's base words amid
+        shared filler — they must not leak eval-query synonyms."""
+        corpus = make_corpus(
+            n_decls=60, n_concepts=30, n_eval=10, seed=7, body_sentences=4
+        )
+        synonyms = {c.synonym for c in corpus.concepts}
+        for d in corpus.declarations:
+            body = d.informalization.split("**")[-1]
+            assert not set(body.split()) & synonyms
+
+
 class TestNameQueries:
     def test_classes_and_targets(self):
         from lean_explore_tpu.train.synthetic import make_name_queries
