@@ -1,0 +1,402 @@
+"""Self-hosted HTTP server for the ``/api/v2`` search contract.
+
+The reference ships only the remote *client* (reference api/client.py:11-104)
+pointed at the hosted leanexplore.com service; the server side is not in its
+codebase. This module is that missing half: a first-party HTTP server
+implementing the openapi.yaml contract (``GET /search``,
+``GET /declarations/{id}``, Bearer auth) over the local TPU ``Service`` —
+so ``ApiClient``, the ``lean-explore search`` CLI, and
+``mcp serve --backend api`` can all run against a self-hosted index.
+
+    python -m lean_explore_tpu.api.server --data-dir /path/to/artifacts \
+        --port 8080 --api-key secret --warmup --warmup-batch 128
+
+TPU-native design — request coalescing. The serving stack is batch-first
+(one jitted program per stage over B queries; ``Service.search_batch``);
+an HTTP server that forwards each request alone would re-pay per-dispatch
+overhead B times. Concurrent requests are instead queued and drained into
+device batches: the batcher waits ``--coalesce-ms`` after the first
+pending request (or until ``--max-batch``, default
+``Config.SERVE_QUERY_BATCH``), groups compatible requests (same
+limit/rerank_top/packages), and answers the whole group from one
+``search_batch`` call. A lone request pays only the coalesce window
+(single-digit ms against a multi-ms pipeline); a burst of B requests is
+served at batched throughput.
+
+Contract:
+    GET {base}/search?q=...&limit=20[&packages=A,B][&rerank_top=N]
+        -> SearchResponse JSON (results: full SearchResult rows)
+    GET {base}/declarations/{id}   -> SearchResult JSON | 404
+    GET /healthz                   -> {"status": "ok", ...}   (no auth)
+
+``{base}`` defaults to ``/api/v2`` to match ``Config.API_BASE_URL`` path
+conventions; run ``ApiClient(base_url="http://host:port/api/v2",
+api_key=...)`` against it.
+"""
+
+import argparse
+import asyncio
+import concurrent.futures
+import json
+import logging
+import sys
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from lean_explore_tpu.config import Config
+
+logger = logging.getLogger(__name__)
+
+MAX_LIMIT = 100
+MAX_QUERY_CHARS = 2000
+REQUEST_TIMEOUT_S = 300.0
+# Parity with Service.search's default (reference service.py:27): an absent
+# rerank_top param means "server-side rerank of the top 50", NOT "no rerank"
+# (which is what rerank_top=None means engine-side).
+DEFAULT_RERANK_TOP = 50
+
+_SHUTDOWN = object()
+
+
+@dataclass
+class _PendingSearch:
+    """One queued /search request awaiting a device batch."""
+
+    query: str
+    limit: int
+    rerank_top: int | None
+    packages: tuple[str, ...] | None
+    future: concurrent.futures.Future = field(
+        default_factory=concurrent.futures.Future
+    )
+
+    @property
+    def group_key(self) -> tuple:
+        return (self.limit, self.rerank_top, self.packages)
+
+
+class SearchBatcher:
+    """Coalesces concurrent search requests into ``search_batch`` calls.
+
+    Owns a private asyncio loop on a daemon thread; HTTP handler threads
+    submit work and block on ``concurrent.futures.Future`` results. All
+    Service/engine coroutines run on this single loop, which also
+    serializes device access (one pipeline at a time is the
+    throughput-optimal policy on a single chip — same reasoning as
+    util/embedding_server.py's lock).
+    """
+
+    def __init__(
+        self,
+        service,
+        coalesce_ms: float = 5.0,
+        max_batch: int | None = None,
+    ):
+        self.service = service
+        self.coalesce_s = max(coalesce_ms, 0.0) / 1000.0
+        self.max_batch = max_batch or Config.SERVE_QUERY_BATCH
+        self.batches_run = 0
+        self.requests_served = 0
+        self._queue: asyncio.Queue | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._ready = threading.Event()
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._run_loop, name="search-batcher", daemon=True
+        )
+        self._thread.start()
+        self._ready.wait()
+
+    def stop(self) -> None:
+        if self._loop is None:
+            return
+        self._loop.call_soon_threadsafe(self._queue.put_nowait, _SHUTDOWN)
+        self._thread.join(timeout=10)
+
+    def _run_loop(self) -> None:
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        self._loop = loop
+        self._queue = asyncio.Queue()
+        self._ready.set()
+        loop.run_until_complete(self._batcher())
+        loop.close()
+
+    # ------------------------------------------------------------ submission
+    def submit_search(
+        self,
+        query: str,
+        limit: int,
+        rerank_top: int | None,
+        packages: tuple[str, ...] | None,
+    ) -> concurrent.futures.Future:
+        pending = _PendingSearch(query, limit, rerank_top, packages)
+        self._loop.call_soon_threadsafe(self._queue.put_nowait, pending)
+        return pending.future
+
+    def submit_coroutine(self, coro) -> concurrent.futures.Future:
+        """Run an arbitrary Service coroutine on the batcher loop."""
+        return asyncio.run_coroutine_threadsafe(coro, self._loop)
+
+    # ------------------------------------------------------------ batch loop
+    async def _batcher(self) -> None:
+        while True:
+            first = await self._queue.get()
+            if first is _SHUTDOWN:
+                return
+            batch = [first]
+            deadline = self._loop.time() + self.coalesce_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - self._loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    item = await asyncio.wait_for(self._queue.get(), timeout)
+                except asyncio.TimeoutError:
+                    break
+                if item is _SHUTDOWN:
+                    for pending in batch:
+                        pending.future.cancel()
+                    return
+                batch.append(item)
+
+            groups: dict[tuple, list[_PendingSearch]] = {}
+            for pending in batch:
+                groups.setdefault(pending.group_key, []).append(pending)
+            for (limit, rerank_top, packages), group in groups.items():
+                try:
+                    responses = await self.service.search_batch(
+                        [p.query for p in group],
+                        limit=limit,
+                        rerank_top=rerank_top,
+                        packages=list(packages) if packages else None,
+                    )
+                    self.batches_run += 1
+                    self.requests_served += len(group)
+                    for pending, response in zip(group, responses):
+                        pending.future.set_result(response)
+                except Exception as error:  # noqa: BLE001 — server boundary
+                    logger.exception("search batch failed")
+                    for pending in group:
+                        if not pending.future.done():
+                            pending.future.set_exception(error)
+
+
+# ------------------------------------------------------------------ handler
+def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
+    base = base_path.rstrip("/")
+
+    class SearchAPIHandler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _authorized(self) -> bool:
+            if not api_key:
+                return True
+            return self.headers.get("Authorization") == f"Bearer {api_key}"
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            split = urlsplit(self.path)
+            path = split.path
+            if path == "/healthz":
+                self._send(
+                    200,
+                    {
+                        "status": "ok",
+                        "batches_run": batcher.batches_run,
+                        "requests_served": batcher.requests_served,
+                    },
+                )
+                return
+            if not path.startswith(base + "/"):
+                self._send(404, {"error": "not found"})
+                return
+            if not self._authorized():
+                self._send(401, {"error": "missing or invalid API key"})
+                return
+            route = path[len(base):]
+            if route == "/search":
+                self._handle_search(parse_qs(split.query))
+            elif route.startswith("/declarations/"):
+                self._handle_get_by_id(route[len("/declarations/"):])
+            else:
+                self._send(404, {"error": "not found"})
+
+        def _handle_search(self, params: dict) -> None:
+            query = (params.get("q") or [""])[0]
+            if not query:
+                self._send(400, {"error": "missing required parameter: q"})
+                return
+            if len(query) > MAX_QUERY_CHARS:
+                self._send(400, {"error": "query too long"})
+                return
+            try:
+                limit = int((params.get("limit") or ["20"])[0])
+                rerank_raw = (params.get("rerank_top") or [None])[0]
+                rerank_top = (
+                    DEFAULT_RERANK_TOP if rerank_raw is None else int(rerank_raw)
+                )
+            except ValueError:
+                self._send(400, {"error": "limit/rerank_top must be integers"})
+                return
+            limit = max(1, min(limit, MAX_LIMIT))
+            packages_raw = (params.get("packages") or [""])[0]
+            packages = (
+                tuple(p.strip() for p in packages_raw.split(",") if p.strip())
+                or None
+            )
+            future = batcher.submit_search(query, limit, rerank_top, packages)
+            try:
+                response = future.result(timeout=REQUEST_TIMEOUT_S)
+            except concurrent.futures.TimeoutError:
+                self._send(503, {"error": "search timed out"})
+                return
+            except Exception as error:  # noqa: BLE001 — server boundary
+                self._send(500, {"error": str(error)})
+                return
+            self._send(200, response.model_dump(mode="json", exclude_none=True))
+
+        def _handle_get_by_id(self, raw_id: str) -> None:
+            try:
+                declaration_id = int(raw_id)
+            except ValueError:
+                self._send(400, {"error": "declaration id must be an integer"})
+                return
+            future = batcher.submit_coroutine(
+                batcher.service.get_by_id(declaration_id)
+            )
+            try:
+                result = future.result(timeout=REQUEST_TIMEOUT_S)
+            except Exception as error:  # noqa: BLE001 — server boundary
+                self._send(500, {"error": str(error)})
+                return
+            if result is None:
+                self._send(404, {"error": f"declaration {declaration_id} not found"})
+                return
+            self._send(200, result.model_dump(mode="json", exclude_none=True))
+
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return SearchAPIHandler
+
+
+def serve(
+    service,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    api_key: str | None = None,
+    base_path: str = "/api/v2",
+    coalesce_ms: float = 5.0,
+    max_batch: int | None = None,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the server; call ``serve_forever()`` on it.
+
+    The returned server carries its started ``SearchBatcher`` as
+    ``server.batcher``; call ``server.batcher.stop()`` after shutdown.
+    """
+    batcher = SearchBatcher(service, coalesce_ms=coalesce_ms, max_batch=max_batch)
+    batcher.start()
+    handler = make_handler(batcher, api_key, base_path)
+    server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher
+    logger.info(
+        "search API server on %s:%d (base %s, coalesce %.1f ms, max batch %d)",
+        host,
+        port,
+        base_path,
+        coalesce_ms,
+        batcher.max_batch,
+    )
+    return server
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Self-hosted Lean Explore search API server (/api/v2)."
+    )
+    parser.add_argument("--data-dir", default=None, help="Index artifact dir")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--api-key",
+        default=None,
+        help="If set, require 'Authorization: Bearer <key>' on API routes.",
+    )
+    parser.add_argument("--base-path", default="/api/v2")
+    parser.add_argument(
+        "--coalesce-ms",
+        type=float,
+        default=5.0,
+        help="Batching window after the first pending request.",
+    )
+    parser.add_argument(
+        "--max-batch",
+        type=int,
+        default=None,
+        help=f"Max coalesced batch (default SERVE_QUERY_BATCH="
+        f"{Config.SERVE_QUERY_BATCH}).",
+    )
+    parser.add_argument("--warmup", action="store_true")
+    parser.add_argument(
+        "--warmup-batch",
+        type=int,
+        default=1,
+        help="Warm compiled programs at this batch shape before serving.",
+    )
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from lean_explore_tpu.util.logging import setup_logging
+
+    setup_logging(args.verbose)
+
+    data_dir = args.data_dir or Config.ACTIVE_CACHE_PATH
+    from pathlib import Path
+
+    if not (Path(data_dir) / "declarations.db").exists():
+        print(
+            "Error: index artifacts not found.\nRun `lean-explore data fetch` "
+            f"or pass --data-dir.\nExpected directory: {data_dir}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+    from lean_explore_tpu.search import SearchEngine, Service
+
+    service = Service(engine=SearchEngine(data_dir))
+    if args.warmup:
+        logger.info("Warming serving programs ...")
+        elapsed_ms = asyncio.run(service.warmup(batch=args.warmup_batch))
+        logger.info("Warmup done in %d ms", elapsed_ms)
+
+    server = serve(
+        service,
+        host=args.host,
+        port=args.port,
+        api_key=args.api_key,
+        base_path=args.base_path,
+        coalesce_ms=args.coalesce_ms,
+        max_batch=args.max_batch,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        server.shutdown()
+    finally:
+        server.batcher.stop()
+
+
+if __name__ == "__main__":
+    main()

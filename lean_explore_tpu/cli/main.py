@@ -142,6 +142,44 @@ def mcp_serve_command(backend, api_key, data_dir):
         raise SystemExit(result.returncode)
 
 
+@cli.group(name="api")
+def api_group():
+    """Run the self-hosted HTTP search API (/api/v2)."""
+
+
+@api_group.command("serve")
+@click.option("--data-dir", default=None, help="Index artifact directory.")
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8080, show_default=True)
+@click.option(
+    "--api-key",
+    default=None,
+    help="Require 'Authorization: Bearer <key>' on API routes.",
+)
+@click.option(
+    "--coalesce-ms",
+    default=5.0,
+    show_default=True,
+    help="Request-coalescing window; concurrent queries share device batches.",
+)
+@click.option("--warmup", is_flag=True, help="Compile serving programs first.")
+@click.option("--warmup-batch", default=1, show_default=True)
+def api_serve_command(data_dir, host, port, api_key, coalesce_ms, warmup, warmup_batch):
+    """Serve the openapi.yaml contract over the local TPU index, so
+    ApiClient / `lean-explore search` / `mcp serve --backend api` can point
+    at your own deployment instead of leanexplore.com."""
+    from lean_explore_tpu.api.server import main as server_main
+
+    argv = ["--host", host, "--port", str(port), "--coalesce-ms", str(coalesce_ms)]
+    if data_dir:
+        argv.extend(["--data-dir", data_dir])
+    if api_key:
+        argv.extend(["--api-key", api_key])
+    if warmup:
+        argv.extend(["--warmup", "--warmup-batch", str(warmup_batch)])
+    server_main(argv)
+
+
 cli.add_command(data_group)
 
 

@@ -1,0 +1,239 @@
+"""End-to-end tests for the self-hosted /api/v2 server.
+
+Our own ApiClient is pointed at a live in-process server over real HTTP —
+the round trip the reference can only run against its hosted service
+(reference api/client.py:11-104; openapi.yaml /search, /declarations/{id}).
+Also pins the TPU-native part: concurrent requests coalesce into ONE
+Service.search_batch call.
+"""
+
+import asyncio
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from lean_explore_tpu.api import ApiClient
+from lean_explore_tpu.api.server import serve
+from lean_explore_tpu.index import build_index_artifacts, load_index_artifacts
+from lean_explore_tpu.models import Declaration, DeclarationStore
+from lean_explore_tpu.search.engine import SearchEngine
+from lean_explore_tpu.search.service import Service
+
+DIM = 16
+
+DECLS = {
+    "Nat.add": ("Init.Nat.Basic", ["Nat"]),
+    "Nat.mul": ("Init.Nat.Basic", ["Nat", "Nat.add"]),
+    "Nat.add_comm": ("Mathlib.Algebra.Group", ["Nat.add"]),
+    "List.map": ("Init.List.Basic", ["List"]),
+    "List.filter": ("Init.List.Basic", ["List"]),
+    "Real.sqrt": ("Mathlib.Analysis.Special", ["Real"]),
+}
+
+NAMES = list(DECLS)
+
+
+def unit(i: int) -> list[float]:
+    v = np.zeros(DIM, dtype=np.float32)
+    v[i] = 1.0
+    return v.tolist()
+
+
+class FakeEmbeddingClient:
+    QUERY_MAP = {
+        "addition of natural numbers": "Nat.add",
+        "apply a function to list elements": "List.map",
+        "square root": "Real.sqrt",
+    }
+
+    async def embed(self, texts, is_query=False):
+        from lean_explore_tpu.util.embedding_client import EmbeddingResponse
+
+        rows = []
+        for t in texts:
+            target = self.QUERY_MAP.get(t)
+            rows.append(
+                unit(NAMES.index(target))
+                if target
+                else (np.ones(DIM) / np.sqrt(DIM)).tolist()
+            )
+        return EmbeddingResponse(texts=list(texts), embeddings=rows, model="fake")
+
+
+class FakeRerankerClient:
+    """Scores 1.0 when the document names the query's intended target."""
+
+    async def rerank_pairs(self, queries, documents):
+        scores = []
+        for query, doc in zip(queries, documents):
+            target = FakeEmbeddingClient.QUERY_MAP.get(query)
+            scores.append(1.0 if target and target in doc else 0.1)
+        return scores
+
+
+class CountingService(Service):
+    def __init__(self, engine):
+        super().__init__(engine=engine)
+        self.batch_calls: list[list[str]] = []
+
+    async def search_batch(self, queries, **kwargs):
+        self.batch_calls.append(list(queries))
+        return await super().search_batch(queries, **kwargs)
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("api_server_arts")
+    store = DeclarationStore(path / "declarations.db", create=True)
+    store.insert_many(
+        [
+            Declaration(
+                name=name,
+                module=module,
+                docstring=f"doc for {name}",
+                source_text=f"def {name} := ...",
+                source_link=f"https://github.com/x/{name}",
+                dependencies=json.dumps(deps),
+                informalization=f"**{name}.** informal text for {name.lower()}",
+                informalization_embedding=unit(i),
+            )
+            for i, (name, (module, deps)) in enumerate(DECLS.items())
+        ]
+    )
+    build_index_artifacts(store, path)
+    store.close()
+    return path
+
+
+@pytest.fixture(scope="module")
+def live_server(artifact_dir):
+    service = CountingService(
+        SearchEngine(
+            artifact_dir,
+            store=DeclarationStore(artifact_dir / "declarations.db"),
+            artifacts=load_index_artifacts(artifact_dir),
+            embedding_client=FakeEmbeddingClient(),
+            reranker_client=FakeRerankerClient(),
+        )
+    )
+    server = serve(
+        service, host="127.0.0.1", port=0, api_key="sekrit", coalesce_ms=300.0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    try:
+        yield f"http://127.0.0.1:{port}/api/v2", service
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        thread.join(timeout=5)
+
+
+def make_client(base_url: str, api_key: str = "sekrit") -> ApiClient:
+    return ApiClient(api_key=api_key, base_url=base_url, timeout=30.0)
+
+
+class TestRoundTrip:
+    def test_search_returns_ranked_results(self, live_server):
+        base_url, _ = live_server
+        client = make_client(base_url)
+        response = asyncio.run(
+            client.search("addition of natural numbers", limit=5)
+        )
+        assert response.count == len(response.results) > 0
+        assert response.results[0].name == "Nat.add"
+        assert response.processing_time_ms is not None
+        # Full SearchResult rows round-trip (not just summaries).
+        assert response.results[0].source_text.startswith("def Nat.add")
+
+    def test_packages_filter(self, live_server):
+        base_url, _ = live_server
+        client = make_client(base_url)
+        response = asyncio.run(
+            client.search(
+                "apply a function to list elements",
+                limit=10,
+                packages=["Mathlib"],
+            )
+        )
+        assert response.results
+        for result in response.results:
+            assert result.module.startswith("Mathlib")
+
+    def test_get_by_id_and_404(self, live_server):
+        base_url, _ = live_server
+        client = make_client(base_url)
+        found = asyncio.run(client.get_by_id(1))
+        assert found is not None and found.id == 1
+        assert asyncio.run(client.get_by_id(999_999)) is None
+
+
+class TestAuth:
+    def test_wrong_key_is_401(self, live_server):
+        import httpx
+
+        base_url, _ = live_server
+        client = make_client(base_url, api_key="wrong")
+        with pytest.raises(httpx.HTTPStatusError) as excinfo:
+            asyncio.run(client.search("x"))
+        assert excinfo.value.response.status_code == 401
+
+    def test_healthz_needs_no_auth(self, live_server):
+        import httpx
+
+        base_url, _ = live_server
+        root = base_url.rsplit("/api/v2", 1)[0]
+        response = httpx.get(f"{root}/healthz", timeout=10.0)
+        assert response.status_code == 200
+        assert response.json()["status"] == "ok"
+
+
+class TestCoalescing:
+    def test_concurrent_requests_share_one_batch(self, live_server):
+        base_url, service = live_server
+        client = make_client(base_url)
+        queries = [
+            "addition of natural numbers",
+            "apply a function to list elements",
+            "square root",
+            "addition of natural numbers",
+        ]
+        before = len(service.batch_calls)
+
+        async def fire():
+            return await asyncio.gather(
+                *(client.search(q, limit=3) for q in queries)
+            )
+
+        responses = asyncio.run(fire())
+        # Every request got ITS OWN answer back, in order.
+        assert [r.query for r in responses] == queries
+        assert responses[0].results[0].name == "Nat.add"
+        assert responses[1].results[0].name == "List.map"
+        assert responses[2].results[0].name == "Real.sqrt"
+        assert responses[3].results[0].name == "Nat.add"
+        # The 300 ms coalesce window gathered them into one device batch.
+        new_calls = service.batch_calls[before:]
+        assert len(new_calls) == 1
+        assert sorted(new_calls[0]) == sorted(queries)
+
+    def test_mixed_limits_split_into_groups(self, live_server):
+        base_url, service = live_server
+        client = make_client(base_url)
+        before = len(service.batch_calls)
+
+        async def fire():
+            return await asyncio.gather(
+                client.search("addition of natural numbers", limit=2),
+                client.search("square root", limit=7),
+            )
+
+        first, second = asyncio.run(fire())
+        assert len(first.results) <= 2
+        assert first.results[0].name == "Nat.add"
+        assert second.results[0].name == "Real.sqrt"
+        # One coalesced drain, two incompatible groups -> two engine calls.
+        assert len(service.batch_calls[before:]) == 2

@@ -121,6 +121,39 @@ class TestMcpServe:
         assert result.exit_code == 3
 
 
+class TestApiServe:
+    def test_forwards_flags_to_server_main(self, monkeypatch):
+        calls = {}
+        import lean_explore_tpu.api.server as server_mod
+
+        monkeypatch.setattr(
+            server_mod, "main", lambda argv: calls.setdefault("argv", argv)
+        )
+        result = CliRunner().invoke(
+            cli,
+            [
+                "api",
+                "serve",
+                "--data-dir",
+                "/tmp/arts",
+                "--port",
+                "9000",
+                "--api-key",
+                "k",
+                "--warmup",
+                "--warmup-batch",
+                "16",
+            ],
+        )
+        assert result.exit_code == 0, result.output
+        argv = calls["argv"]
+        assert argv[argv.index("--port") + 1] == "9000"
+        assert argv[argv.index("--data-dir") + 1] == "/tmp/arts"
+        assert argv[argv.index("--api-key") + 1] == "k"
+        assert "--warmup" in argv
+        assert argv[argv.index("--warmup-batch") + 1] == "16"
+
+
 class TestDataCommands:
     def test_fetch_downloads_all_artifacts(self, tmp_path, monkeypatch):
         from lean_explore_tpu import config as config_mod
