@@ -68,13 +68,17 @@ class _PendingSearch:
     limit: int
     rerank_top: int | None
     packages: tuple[str, ...] | None
+    # False when rerank_top is the server-side default rather than a client
+    # ask — such requests may degrade to no-rerank if the checkpoint is
+    # absent (lexical/dense-only deployments) instead of erroring.
+    rerank_explicit: bool = False
     future: concurrent.futures.Future = field(
         default_factory=concurrent.futures.Future
     )
 
     @property
     def group_key(self) -> tuple:
-        return (self.limit, self.rerank_top, self.packages)
+        return (self.limit, self.rerank_top, self.packages, self.rerank_explicit)
 
 
 class SearchBatcher:
@@ -134,8 +138,9 @@ class SearchBatcher:
         limit: int,
         rerank_top: int | None,
         packages: tuple[str, ...] | None,
+        rerank_explicit: bool = False,
     ) -> concurrent.futures.Future:
-        pending = _PendingSearch(query, limit, rerank_top, packages)
+        pending = _PendingSearch(query, limit, rerank_top, packages, rerank_explicit)
         self._loop.call_soon_threadsafe(self._queue.put_nowait, pending)
         return pending.future
 
@@ -168,14 +173,31 @@ class SearchBatcher:
             groups: dict[tuple, list[_PendingSearch]] = {}
             for pending in batch:
                 groups.setdefault(pending.group_key, []).append(pending)
-            for (limit, rerank_top, packages), group in groups.items():
+            for (limit, rerank_top, packages, explicit), group in groups.items():
+                queries = [p.query for p in group]
+                kwargs = dict(
+                    limit=limit,
+                    rerank_top=rerank_top,
+                    packages=list(packages) if packages else None,
+                )
                 try:
-                    responses = await self.service.search_batch(
-                        [p.query for p in group],
-                        limit=limit,
-                        rerank_top=rerank_top,
-                        packages=list(packages) if packages else None,
-                    )
+                    try:
+                        responses = await self.service.search_batch(
+                            queries, **kwargs
+                        )
+                    except FileNotFoundError as error:
+                        # Default-rerank requests degrade gracefully on
+                        # model-free (lexical/dense-only) deployments; an
+                        # EXPLICIT rerank_top ask still errors honestly.
+                        if explicit or not rerank_top:
+                            raise
+                        logger.warning(
+                            "rerank unavailable (%s); serving without rerank",
+                            error,
+                        )
+                        responses = await self.service.search_batch(
+                            queries, **{**kwargs, "rerank_top": 0}
+                        )
                     self.batches_run += 1
                     self.requests_served += len(group)
                     for pending, response in zip(group, responses):
@@ -255,7 +277,13 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
                 tuple(p.strip() for p in packages_raw.split(",") if p.strip())
                 or None
             )
-            future = batcher.submit_search(query, limit, rerank_top, packages)
+            future = batcher.submit_search(
+                query,
+                limit,
+                rerank_top,
+                packages,
+                rerank_explicit=rerank_raw is not None,
+            )
             try:
                 response = future.result(timeout=REQUEST_TIMEOUT_S)
             except concurrent.futures.TimeoutError:
@@ -264,7 +292,10 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
             except Exception as error:  # noqa: BLE001 — server boundary
                 self._send(500, {"error": str(error)})
                 return
-            self._send(200, response.model_dump(mode="json", exclude_none=True))
+            # NOT exclude_none: SearchResult's optional fields (docstring,
+            # dependencies, informalization) are required-but-nullable in the
+            # wire schema — ApiClient validation needs them present as null.
+            self._send(200, response.model_dump(mode="json"))
 
         def _handle_get_by_id(self, raw_id: str) -> None:
             try:
@@ -283,7 +314,7 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
             if result is None:
                 self._send(404, {"error": f"declaration {declaration_id} not found"})
                 return
-            self._send(200, result.model_dump(mode="json", exclude_none=True))
+            self._send(200, result.model_dump(mode="json"))
 
         def log_message(self, fmt, *args):
             logger.info("%s - %s", self.address_string(), fmt % args)

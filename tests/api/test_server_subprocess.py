@@ -129,3 +129,65 @@ class TestSubprocessServer:
         )
         assert response.status_code == 400
         assert "q" in response.json()["error"]
+
+
+class TestMcpOverSelfHostedApi:
+    """The complete self-hosted remote stack: MCP stdio server with
+    --backend api, whose ApiClient speaks HTTP to OUR api server — the
+    deployment the reference can only run against leanexplore.com."""
+
+    def test_mcp_search_round_trips_through_http(self, server_proc):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env["LEAN_EXPLORE_API_BASE_URL"] = f"{server_proc}/api/v2"
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "lean_explore_tpu.mcp.server",
+                "--backend",
+                "api",
+                "--api-key",
+                "sekrit",
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        messages = [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {
+                "jsonrpc": "2.0",
+                "id": 2,
+                "method": "tools/call",
+                "params": {
+                    "name": "search",
+                    "arguments": {"query": "Nat.add", "limit": 2},
+                },
+            },
+            {
+                "jsonrpc": "2.0",
+                "id": 3,
+                "method": "tools/call",
+                "params": {
+                    "name": "get_module",
+                    "arguments": {"declaration_id": 1},
+                },
+            },
+        ]
+        stdin_payload = "".join(json.dumps(m) + "\n" for m in messages)
+        try:
+            stdout, _ = proc.communicate(stdin_payload, timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+        lines = [json.loads(line) for line in stdout.splitlines() if line.strip()]
+        by_id = {msg["id"]: msg for msg in lines if "id" in msg}
+        search_out = json.loads(by_id[2]["result"]["content"][0]["text"])
+        assert search_out["results"][0]["name"] == "Nat.add"
+        module_out = json.loads(by_id[3]["result"]["content"][0]["text"])
+        assert module_out["module"] == "Init.Nat"
