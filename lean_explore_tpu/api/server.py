@@ -103,6 +103,8 @@ class SearchBatcher:
         self.max_batch = max_batch or Config.SERVE_QUERY_BATCH
         self.batches_run = 0
         self.requests_served = 0
+        self.engine_seconds = 0.0  # time inside search_batch (device pipelines)
+        self.batch_sizes: list[int] = []  # last 1000 drain group sizes
         self._queue: asyncio.Queue | None = None
         self._loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
@@ -180,6 +182,7 @@ class SearchBatcher:
                     rerank_top=rerank_top,
                     packages=list(packages) if packages else None,
                 )
+                t_start = self._loop.time()
                 try:
                     try:
                         responses = await self.service.search_batch(
@@ -200,6 +203,9 @@ class SearchBatcher:
                         )
                     self.batches_run += 1
                     self.requests_served += len(group)
+                    self.engine_seconds += self._loop.time() - t_start
+                    self.batch_sizes.append(len(group))
+                    del self.batch_sizes[:-1000]
                     for pending, response in zip(group, responses):
                         pending.future.set_result(response)
                 except Exception as error:  # noqa: BLE001 — server boundary
@@ -237,6 +243,12 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
                         "status": "ok",
                         "batches_run": batcher.batches_run,
                         "requests_served": batcher.requests_served,
+                        "engine_seconds": round(batcher.engine_seconds, 3),
+                        "mean_batch": round(
+                            batcher.requests_served
+                            / max(batcher.batches_run, 1),
+                            1,
+                        ),
                     },
                 )
                 return
@@ -407,8 +419,12 @@ def main(argv=None) -> None:
 
     service = Service(engine=SearchEngine(data_dir))
     if args.warmup:
-        logger.info("Warming serving programs ...")
-        elapsed_ms = asyncio.run(service.warmup(batch=args.warmup_batch))
+        logger.info("Warming serving programs (all batch buckets) ...")
+        # all_buckets: coalesced drains vary in size at runtime; warm every
+        # standard bucket so no live request waits on a compile.
+        elapsed_ms = asyncio.run(
+            service.warmup(batch=args.warmup_batch, all_buckets=True)
+        )
         logger.info("Warmup done in %d ms", elapsed_ms)
 
     server = serve(

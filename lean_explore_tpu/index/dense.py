@@ -153,6 +153,18 @@ class DenseIndex:
         """
         q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
         k = min(k, self.n)
+        # Bucket the batch dim (like encode_batch does for token batches):
+        # every device program below is compiled per B, so an arbitrary
+        # serving batch (e.g. a coalesced HTTP drain of 97 queries) would
+        # otherwise trigger a fresh XLA/Pallas compile mid-request. Padding
+        # to the standard buckets bounds live compiles to len(BATCH_BUCKETS)
+        # shapes; pad rows are zero vectors whose results are sliced away.
+        from lean_explore_tpu.models.tokenizer import bucket_batch
+
+        b_valid = int(q.shape[0])
+        b_padded = bucket_batch(b_valid)
+        if b_padded != b_valid:
+            q = jnp.pad(q, ((0, b_padded - b_valid), (0, 0)))
         if self.scales is not None:
             rows_padded = self.embeddings.shape[0]
             use_fused = (
@@ -181,8 +193,8 @@ class DenseIndex:
                         bins=bins,
                         recall_target=0.99,  # free over [B, bins]
                     )
-                    rows = np.asarray(jax.device_get(rows))
-                    scores = np.asarray(jax.device_get(scores))
+                    rows = np.asarray(jax.device_get(rows))[:b_valid]
+                    scores = np.asarray(jax.device_get(scores))[:b_valid]
                     return scores, self.ids[rows]
             from lean_explore_tpu.ops.quant import quantized_topk
 
@@ -205,8 +217,8 @@ class DenseIndex:
                 method=method,
                 chunk=Config.TOPK_CHUNK,
             )
-        rows = np.asarray(jax.device_get(rows))
-        scores = np.asarray(jax.device_get(scores))
+        rows = np.asarray(jax.device_get(rows))[:b_valid]
+        scores = np.asarray(jax.device_get(scores))[:b_valid]
         return scores, self.ids[rows]
 
     def row_embeddings(self) -> np.ndarray:

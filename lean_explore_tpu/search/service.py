@@ -65,7 +65,9 @@ class Service:
     async def get_by_id(self, declaration_id: int) -> SearchResult | None:
         return await self.engine.get_by_id(declaration_id)
 
-    async def warmup(self, *, rerank: bool = True, batch: int = 1) -> int:
+    async def warmup(
+        self, *, rerank: bool = True, batch: int = 1, all_buckets: bool = False
+    ) -> int:
         """Compile-and-execute the serving programs before real traffic.
 
         The first query otherwise pays model loading plus XLA compilation of
@@ -81,16 +83,29 @@ class Service:
                 should warm with batch=128 (and default rerank_top) to
                 compile the production prefix-KV rerank geometry up front —
                 batch=1 warms the single-query shapes only.
+            all_buckets: Also warm every standard batch bucket below
+                ``batch`` (models.tokenizer.BATCH_BUCKETS). Use for servers
+                whose request batches vary at runtime — e.g. the HTTP
+                server's coalesced drains — so no live request ever waits
+                on an XLA/Pallas compile.
         """
         start = time.time()
-        queries = [f"warmup query {i}" for i in range(max(batch, 1))]
-        for rerank_top in ([None, 0] if rerank else [0]):
-            try:
-                kwargs = {} if rerank_top is None else {"rerank_top": rerank_top}
-                await self.engine.search_batch(queries, limit=1, **kwargs)
-                break
-            except FileNotFoundError as exc:
-                logger.warning(
-                    "warmup degraded (model checkpoint unavailable): %s", exc
-                )
+        if all_buckets:
+            from lean_explore_tpu.models.tokenizer import BATCH_BUCKETS
+
+            sizes = [b for b in BATCH_BUCKETS if b < max(batch, 1)]
+            sizes.append(max(batch, 1))
+        else:
+            sizes = [max(batch, 1)]
+        for size in sizes:
+            queries = [f"warmup query {i}" for i in range(size)]
+            for rerank_top in ([None, 0] if rerank else [0]):
+                try:
+                    kwargs = {} if rerank_top is None else {"rerank_top": rerank_top}
+                    await self.engine.search_batch(queries, limit=1, **kwargs)
+                    break
+                except FileNotFoundError as exc:
+                    logger.warning(
+                        "warmup degraded (model checkpoint unavailable): %s", exc
+                    )
         return int((time.time() - start) * 1000)

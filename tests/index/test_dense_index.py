@@ -25,6 +25,22 @@ class TestDenseIndex:
             assert set(got_ids[b]) == set(want_ids[b])
         assert scores.shape == (8, 10)
 
+    def test_batch_dim_bucketing_parity(self):
+        """Odd batch sizes pad to BATCH_BUCKETS internally (bounding live
+        compiles); results must equal the per-query answers with no
+        padding-row leakage."""
+        corpus = random_unit_rows(300, 32, seed=7)
+        ids = np.arange(300)
+        index = DenseIndex.build(corpus, ids)
+        for b in (1, 3, 5, 97 % 13):  # off-bucket sizes incl. 1
+            queries = random_unit_rows(b, 32, seed=10 + b)
+            scores, got_ids = index.search(queries, k=7)
+            assert scores.shape == (b, 7) and got_ids.shape == (b, 7)
+            for i in range(b):
+                s1, id1 = index.search(queries[i : i + 1], k=7)
+                np.testing.assert_allclose(scores[i], s1[0], rtol=1e-6)
+                np.testing.assert_array_equal(got_ids[i], id1[0])
+
     def test_query_normalized(self):
         """Unnormalized queries give the same ranking as normalized ones."""
         corpus = random_unit_rows(100, 32, seed=3)
