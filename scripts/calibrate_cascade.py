@@ -41,6 +41,29 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def containment_metrics(
+    full_scores: list[float], cap_scores: list[float], keep: int
+) -> tuple[bool, bool, float]:
+    """Agreement of a truncated prescreen with the full-length ranking.
+
+    Returns (full top-1 in prescreen top-keep, full top-3 all in prescreen
+    top-keep, |top-keep ∩ top-keep| / keep) — the per-group quantities the
+    calibration averages. Label-free: 'full-length top-1' stands in for
+    gold (the trained rerankers rank gold top-1 in >=0.99 of groups).
+    """
+    n = len(full_scores)
+    full_order = sorted(range(n), key=lambda i: full_scores[i], reverse=True)
+    cap_top = set(
+        sorted(range(n), key=lambda i: cap_scores[i], reverse=True)[:keep]
+    )
+    top3 = full_order[: min(3, n)]
+    return (
+        full_order[0] in cap_top,
+        len(set(top3) & cap_top) == len(top3),
+        len(set(full_order[:keep]) & cap_top) / keep,
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
@@ -177,18 +200,10 @@ def main() -> None:
                 suffix_cap=cap,
             )
             for (q, docs, full), s in zip(chunk, cap_scores):
-                full_order = sorted(
-                    range(len(docs)), key=lambda i: full[i], reverse=True
-                )
-                cap_top = set(
-                    sorted(
-                        range(len(docs)), key=lambda i: s[i], reverse=True
-                    )[:keep]
-                )
-                top1_hits += full_order[0] in cap_top
-                top3 = full_order[:3]
-                top3_hits += len(set(top3) & cap_top) == len(top3)
-                overlaps += len(set(full_order[:keep]) & cap_top) / keep
+                hit1, hit3, overlap = containment_metrics(full, list(s), keep)
+                top1_hits += hit1
+                top3_hits += hit3
+                overlaps += overlap
                 n += 1
         row = {
             "containment_top1": round(top1_hits / n, 4),

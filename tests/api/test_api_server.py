@@ -191,6 +191,33 @@ class TestAuth:
         assert response.json()["status"] == "ok"
 
 
+class TestErrorPropagation:
+    def test_engine_failure_maps_to_500_per_request(self):
+        import httpx
+
+        class FailingService:
+            async def search_batch(self, queries, **kwargs):
+                raise RuntimeError("index corrupted")
+
+        server = serve(FailingService(), port=0, api_key="k", coalesce_ms=50.0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}/api/v2/search"
+            response = httpx.get(
+                url,
+                params={"q": "x"},
+                headers={"Authorization": "Bearer k"},
+                timeout=30.0,
+            )
+            assert response.status_code == 500
+            assert "index corrupted" in response.json()["error"]
+        finally:
+            server.shutdown()
+            server.batcher.stop()
+            thread.join(timeout=5)
+
+
 class TestCoalescing:
     def test_concurrent_requests_share_one_batch(self, live_server):
         base_url, service = live_server
