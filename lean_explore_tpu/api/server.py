@@ -220,6 +220,11 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
     base = base_path.rstrip("/")
 
     class SearchAPIHandler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length, so
+        # persistent connections are safe and clients skip per-request TCP
+        # setup (the default HTTP/1.0 closes after each response).
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)

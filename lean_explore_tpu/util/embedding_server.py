@@ -31,6 +31,9 @@ MAX_BODY_BYTES = 64 * 1024 * 1024
 
 def make_handler(client, lock: threading.Lock):
     class EmbeddingHandler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive (all responses carry Content-Length).
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
