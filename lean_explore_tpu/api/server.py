@@ -50,8 +50,15 @@ from lean_explore_tpu.config import Config
 logger = logging.getLogger(__name__)
 
 MAX_LIMIT = 100
+# Cap the cross-encoder pool: an unbounded rerank_top would let one request
+# demand ~40x the default device work (and a fresh pad-geometry compile),
+# stalling every queued request behind the single batcher loop.
+MAX_RERANK_TOP = 100
 MAX_QUERY_CHARS = 2000
 REQUEST_TIMEOUT_S = 300.0
+# Idle keep-alive connections are dropped after this long so they don't pin
+# handler threads forever (HTTP/1.1 keep-alive otherwise blocks in readline).
+IDLE_CONNECTION_TIMEOUT_S = 60.0
 # Parity with Service.search's default (reference service.py:27): an absent
 # rerank_top param means "server-side rerank of the top 50", NOT "no rerank"
 # (which is what rerank_top=None means engine-side).
@@ -78,7 +85,11 @@ class _PendingSearch:
 
     @property
     def group_key(self) -> tuple:
-        return (self.limit, self.rerank_top, self.packages, self.rerank_explicit)
+        # Only the arguments that change the ENGINE's work split a device
+        # batch. limit is host-side truncation (sliced per request after
+        # the batch), and rerank_explicit only selects the degradation
+        # policy on FileNotFoundError — neither forfeits coalescing.
+        return (self.rerank_top, self.packages)
 
 
 class SearchBatcher:
@@ -101,6 +112,10 @@ class SearchBatcher:
         self.service = service
         self.coalesce_s = max(coalesce_ms, 0.0) / 1000.0
         self.max_batch = max_batch or Config.SERVE_QUERY_BATCH
+        # Latched on the first FileNotFoundError from the rerank stage so
+        # model-free deployments don't re-run the full retrieval pipeline
+        # twice per batch forever.
+        self._rerank_unavailable = False
         self.batches_run = 0
         self.requests_served = 0
         self.engine_seconds = 0.0  # time inside search_batch (device pipelines)
@@ -174,45 +189,85 @@ class SearchBatcher:
 
             groups: dict[tuple, list[_PendingSearch]] = {}
             for pending in batch:
+                if pending.future.cancelled():
+                    continue  # client gave up (timeout); don't bill the device
                 groups.setdefault(pending.group_key, []).append(pending)
-            for (limit, rerank_top, packages, explicit), group in groups.items():
-                queries = [p.query for p in group]
-                kwargs = dict(
-                    limit=limit,
-                    rerank_top=rerank_top,
-                    packages=list(packages) if packages else None,
+            for (rerank_top, packages), group in groups.items():
+                await self._run_group(rerank_top, packages, group)
+
+    async def _run_group(
+        self,
+        rerank_top: int | None,
+        packages: tuple[str, ...] | None,
+        group: list[_PendingSearch],
+    ) -> None:
+        # Default-rerank requests degrade to no-rerank on model-free
+        # (lexical/dense-only) deployments; EXPLICIT rerank_top asks still
+        # error honestly. Once latched, skip the doomed first attempt.
+        if self._rerank_unavailable and rerank_top:
+            non_explicit = [p for p in group if not p.rerank_explicit]
+            for pending in group:
+                if pending.rerank_explicit and not pending.future.done():
+                    pending.future.set_exception(
+                        FileNotFoundError("reranker checkpoint unavailable")
+                    )
+            if not non_explicit:
+                return
+            group, rerank_top = non_explicit, 0
+        queries = [p.query for p in group]
+        # One engine call serves every limit in the group: limit is
+        # host-side result truncation, so run at the group max and slice
+        # per request below.
+        max_limit = max(p.limit for p in group)
+        kwargs = dict(
+            limit=max_limit,
+            rerank_top=rerank_top,
+            packages=list(packages) if packages else None,
+        )
+        t_start = self._loop.time()
+        try:
+            try:
+                responses = await self.service.search_batch(queries, **kwargs)
+            except FileNotFoundError as error:
+                if not rerank_top:
+                    raise
+                logger.warning(
+                    "rerank unavailable (%s); serving default requests "
+                    "without rerank from now on",
+                    error,
                 )
-                t_start = self._loop.time()
-                try:
-                    try:
-                        responses = await self.service.search_batch(
-                            queries, **kwargs
-                        )
-                    except FileNotFoundError as error:
-                        # Default-rerank requests degrade gracefully on
-                        # model-free (lexical/dense-only) deployments; an
-                        # EXPLICIT rerank_top ask still errors honestly.
-                        if explicit or not rerank_top:
-                            raise
-                        logger.warning(
-                            "rerank unavailable (%s); serving without rerank",
-                            error,
-                        )
-                        responses = await self.service.search_batch(
-                            queries, **{**kwargs, "rerank_top": 0}
-                        )
-                    self.batches_run += 1
-                    self.requests_served += len(group)
-                    self.engine_seconds += self._loop.time() - t_start
-                    self.batch_sizes.append(len(group))
-                    del self.batch_sizes[:-1000]
-                    for pending, response in zip(group, responses):
-                        pending.future.set_result(response)
-                except Exception as error:  # noqa: BLE001 — server boundary
-                    logger.exception("search batch failed")
-                    for pending in group:
-                        if not pending.future.done():
-                            pending.future.set_exception(error)
+                self._rerank_unavailable = True
+                for pending in group:
+                    if pending.rerank_explicit and not pending.future.done():
+                        pending.future.set_exception(error)
+                group = [p for p in group if not p.rerank_explicit]
+                if not group:
+                    return
+                queries = [p.query for p in group]
+                responses = await self.service.search_batch(
+                    queries, **{**kwargs, "rerank_top": 0}
+                )
+            self.batches_run += 1
+            self.requests_served += len(group)
+            self.engine_seconds += self._loop.time() - t_start
+            self.batch_sizes.append(len(group))
+            del self.batch_sizes[:-1000]
+            for pending, response in zip(group, responses):
+                if pending.future.done():
+                    continue  # cancelled while the batch ran
+                if pending.limit < len(response.results):
+                    response = response.model_copy(
+                        update={
+                            "results": response.results[: pending.limit],
+                            "count": pending.limit,
+                        }
+                    )
+                pending.future.set_result(response)
+        except Exception as error:  # noqa: BLE001 — server boundary
+            logger.exception("search batch failed")
+            for pending in group:
+                if not pending.future.done():
+                    pending.future.set_exception(error)
 
 
 # ------------------------------------------------------------------ handler
@@ -222,8 +277,11 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
     class SearchAPIHandler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: every response carries Content-Length, so
         # persistent connections are safe and clients skip per-request TCP
-        # setup (the default HTTP/1.0 closes after each response).
+        # setup (the default HTTP/1.0 closes after each response). The
+        # socket timeout bounds idle connections so they don't pin handler
+        # threads forever.
         protocol_version = "HTTP/1.1"
+        timeout = IDLE_CONNECTION_TIMEOUT_S
 
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode("utf-8")
@@ -236,7 +294,11 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
         def _authorized(self) -> bool:
             if not api_key:
                 return True
-            return self.headers.get("Authorization") == f"Bearer {api_key}"
+            import hmac
+
+            return hmac.compare_digest(
+                self.headers.get("Authorization") or "", f"Bearer {api_key}"
+            )
 
         def do_GET(self):  # noqa: N802 — http.server API
             split = urlsplit(self.path)
@@ -289,6 +351,7 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
                 self._send(400, {"error": "limit/rerank_top must be integers"})
                 return
             limit = max(1, min(limit, MAX_LIMIT))
+            rerank_top = min(rerank_top, MAX_RERANK_TOP)
             packages_raw = (params.get("packages") or [""])[0]
             packages = (
                 tuple(p.strip() for p in packages_raw.split(",") if p.strip())
@@ -304,6 +367,9 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
             try:
                 response = future.result(timeout=REQUEST_TIMEOUT_S)
             except concurrent.futures.TimeoutError:
+                # Cancel so the batcher drops it at the next drain instead
+                # of spending device time on an abandoned request.
+                future.cancel()
                 self._send(503, {"error": "search timed out"})
                 return
             except Exception as error:  # noqa: BLE001 — server boundary
@@ -325,6 +391,10 @@ def make_handler(batcher: SearchBatcher, api_key: str | None, base_path: str):
             )
             try:
                 result = future.result(timeout=REQUEST_TIMEOUT_S)
+            except concurrent.futures.TimeoutError:
+                future.cancel()
+                self._send(503, {"error": "lookup timed out"})
+                return
             except Exception as error:  # noqa: BLE001 — server boundary
                 self._send(500, {"error": str(error)})
                 return
@@ -354,9 +424,11 @@ def serve(
     ``server.batcher``; call ``server.batcher.stop()`` after shutdown.
     """
     batcher = SearchBatcher(service, coalesce_ms=coalesce_ms, max_batch=max_batch)
-    batcher.start()
     handler = make_handler(batcher, api_key, base_path)
+    # Bind before starting the batcher thread: a failed bind (port in use)
+    # must not leak a live event-loop thread per attempt.
     server = ThreadingHTTPServer((host, port), handler)
+    batcher.start()
     server.batcher = batcher
     logger.info(
         "search API server on %s:%d (base %s, coalesce %.1f ms, max batch %d)",

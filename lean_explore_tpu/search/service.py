@@ -99,10 +99,16 @@ class Service:
             sizes = [max(batch, 1)]
         for size in sizes:
             queries = [f"warmup query {i}" for i in range(size)]
-            for rerank_top in ([None, 0] if rerank else [0]):
+            # Warm the SERVICE default rerank pool (50), not the engine
+            # default (25): serving traffic routed through Service/MCP/HTTP
+            # uses 50, and 25 vs 50 candidates pad to different
+            # docs-per-group buckets in the grouped reranker — warming the
+            # wrong one leaves the first real request paying the compile.
+            for rerank_top in ([50, 0] if rerank else [0]):
                 try:
-                    kwargs = {} if rerank_top is None else {"rerank_top": rerank_top}
-                    await self.engine.search_batch(queries, limit=1, **kwargs)
+                    await self.engine.search_batch(
+                        queries, limit=1, rerank_top=rerank_top
+                    )
                     break
                 except FileNotFoundError as exc:
                     logger.warning(

@@ -218,6 +218,52 @@ class TestErrorPropagation:
             thread.join(timeout=5)
 
 
+class TestRerankDegradationLatch:
+    def test_latch_skips_doomed_attempt_after_first_failure(self):
+        import httpx
+
+        from lean_explore_tpu.models import SearchResponse
+
+        calls = []
+
+        class ModelFreeService:
+            async def search_batch(self, queries, limit=20, rerank_top=50,
+                                   packages=None):
+                calls.append(rerank_top)
+                if rerank_top:
+                    raise FileNotFoundError("no reranker checkpoint")
+                return [
+                    SearchResponse(query=q, results=[], count=0,
+                                   processing_time_ms=1)
+                    for q in queries
+                ]
+
+        server = serve(ModelFreeService(), port=0, api_key="k", coalesce_ms=5.0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}/api/v2/search"
+            headers = {"Authorization": "Bearer k"}
+            # First default search: tries rerank (fails), degrades, latches.
+            assert httpx.get(url, params={"q": "a"}, headers=headers,
+                             timeout=30.0).status_code == 200
+            assert calls == [50, 0]
+            # Second default search: goes straight to no-rerank.
+            assert httpx.get(url, params={"q": "b"}, headers=headers,
+                             timeout=30.0).status_code == 200
+            assert calls == [50, 0, 0]
+            # Explicit rerank ask still errors honestly after the latch.
+            explicit = httpx.get(url, params={"q": "c", "rerank_top": 10},
+                                 headers=headers, timeout=30.0)
+            assert explicit.status_code == 500
+            assert "unavailable" in explicit.json()["error"]
+            assert calls == [50, 0, 0]  # no engine call was spent on it
+        finally:
+            server.shutdown()
+            server.batcher.stop()
+            thread.join(timeout=5)
+
+
 class TestCoalescing:
     def test_concurrent_requests_share_one_batch(self, live_server):
         base_url, service = live_server
@@ -247,7 +293,10 @@ class TestCoalescing:
         assert len(new_calls) == 1
         assert sorted(new_calls[0]) == sorted(queries)
 
-    def test_mixed_limits_split_into_groups(self, live_server):
+    def test_mixed_limits_share_one_engine_call(self, live_server):
+        """limit is host-side truncation, so different limits must NOT
+        split the device batch — one engine call at the group max, each
+        request sliced to its own limit."""
         base_url, service = live_server
         client = make_client(base_url)
         before = len(service.batch_calls)
@@ -262,5 +311,5 @@ class TestCoalescing:
         assert len(first.results) <= 2
         assert first.results[0].name == "Nat.add"
         assert second.results[0].name == "Real.sqrt"
-        # One coalesced drain, two incompatible groups -> two engine calls.
-        assert len(service.batch_calls[before:]) == 2
+        assert len(second.results) > len(first.results)
+        assert len(service.batch_calls[before:]) == 1
