@@ -10,6 +10,7 @@ forward that computes the LM head only at the final position.
 import asyncio
 import logging
 import os
+import threading
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -45,7 +46,7 @@ class RerankerClient:
         max_length: int = 512,
         instruction: str = DEFAULT_INSTRUCTION,
         batch_size: int | None = None,
-        dtype: str = "bfloat16",
+        dtype: str | None = None,
         mesh=None,
     ):
         """Load tokenizer + params.
@@ -57,7 +58,11 @@ class RerankerClient:
             instruction: Task instruction in the pair template.
             batch_size: Falls back to LEAN_EXPLORE_RERANKER_BATCH_SIZE env,
                 then 64 (TPU default; reference uses 16 CUDA / 32 CPU).
-            dtype: Parameter dtype on device.
+            dtype: Parameter dtype on device. None (default) resolves to
+                "int8" when LEAN_EXPLORE_RERANKER_INT8=1, else "bfloat16";
+                an EXPLICIT dtype always wins over the env var (so parity/
+                drift measurements can pin full precision regardless of the
+                serving environment).
             mesh: Optional jax Mesh with a ``data`` axis: parameters are
                 replicated and the grouped prefix-KV path shards query
                 GROUPS over the axis (parallel/rerank.py) — rerank, the
@@ -70,19 +75,31 @@ class RerankerClient:
         self.model_dir = resolved
         self.max_length = max_length
         self.instruction = instruction
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
         env_batch = os.getenv("LEAN_EXPLORE_RERANKER_BATCH_SIZE")
-        self.batch_size = batch_size or (
-            int(env_batch) if env_batch else DEFAULT_BATCH_SIZE
+        self.batch_size = (
+            batch_size
+            if batch_size is not None
+            else (int(env_batch) if env_batch else DEFAULT_BATCH_SIZE)
         )
         logger.info("Loading reranker model %s from %s", model_name, resolved)
         self.tokenizer = load_tokenizer(resolved)
-        # dtype="int8" (or LEAN_EXPLORE_RERANKER_INT8=1): W8A8 dynamic
-        # quantization of the trunk projections (qwen3.quantize_params_int8)
-        # — the int8 MXU path doubles the peak FLOP rate on v5e. Norms,
-        # attention, logits stay bf16/f32. Works through every scoring
-        # path including the grouped prefix-KV one.
-        if os.getenv("LEAN_EXPLORE_RERANKER_INT8") == "1":
-            dtype = "int8"
+        # HF fast tokenizers are not re-entrant across threads ("Already
+        # borrowed"); concurrent rerank()/rerank_pairs() calls dispatch via
+        # asyncio.to_thread, so all tokenizer use is serialized here.
+        self._tokenizer_lock = threading.Lock()
+        # dtype="int8" (or LEAN_EXPLORE_RERANKER_INT8=1 when dtype is left
+        # unset): W8A8 dynamic quantization of the trunk projections
+        # (qwen3.quantize_params_int8) — the int8 MXU path doubles the peak
+        # FLOP rate on v5e. Norms, attention, logits stay bf16/f32. Works
+        # through every scoring path including the grouped prefix-KV one.
+        if dtype is None:
+            dtype = (
+                "int8"
+                if os.getenv("LEAN_EXPLORE_RERANKER_INT8") == "1"
+                else "bfloat16"
+            )
         self.int8 = dtype == "int8"
         load_dtype = jnp.bfloat16 if self.int8 else jnp.dtype(dtype)
         self.params, self.config = load_params(resolved, dtype=load_dtype)
@@ -114,28 +131,18 @@ class RerankerClient:
             f"<Document>: {document}"
         )
 
-    def _dispatch_batch(self, pairs: list[str]):
-        """Tokenize + enqueue one device batch WITHOUT fetching the result.
-
-        JAX dispatch is asynchronous: returning the device array (no host
-        fetch) lets the caller tokenize the next bucket while the MXU runs
-        this one — host tokenization hides entirely under device compute
-        (SURVEY §7 "serving efficiency"). Returns (device scores, n_valid).
-        """
-        batch = encode_batch(self.tokenizer, pairs, max_length=self.max_length)
-        scores = qwen3_mod.rerank_scores(
-            self.params,
-            self.config,
-            jnp.asarray(batch.input_ids),
-            jnp.asarray(batch.attention_mask),
-            token_true=int(self.token_true_id),
-            token_false=int(self.token_false_id),
-        )
-        return scores, batch.n_valid
-
-    def _score_batch(self, pairs: list[str]) -> np.ndarray:
-        scores, n_valid = self._dispatch_batch(pairs)
-        return np.asarray(scores)[:n_valid]
+    def _truncate_docs(self, documents: list[str], cap: int) -> list[str]:
+        """Truncate documents to ~``cap`` tokens of text (cascade prescreen
+        on paths without the prefix/suffix split: the doc is tokenized
+        alone, capped, and decoded — a close approximation of capping the
+        in-context suffix, adequate for a prescreen whose contract is rank
+        agreement, not exact scores)."""
+        with self._tokenizer_lock:
+            ids = self.tokenizer(
+                documents, truncation=True, max_length=cap,
+                add_special_tokens=False,
+            )["input_ids"]
+            return [self.tokenizer.decode(row) for row in ids]
 
     def _score_encoded(self, encoded: list) -> list[np.ndarray]:
         """Score many padded buckets with minimal device dispatches.
@@ -195,16 +202,19 @@ class RerankerClient:
         """Score documents against the query synchronously."""
         if not documents:
             return RerankerResponse(query=query, scores=[], model=self.model_name)
-        step = batch_size or self.batch_size
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        step = batch_size if batch_size is not None else self.batch_size
         pairs = [self._format_pair(query, d) for d in documents]
-        encoded = [
-            encode_batch(
-                self.tokenizer,
-                pairs[start : start + step],
-                max_length=self.max_length,
-            )
-            for start in range(0, len(pairs), step)
-        ]
+        with self._tokenizer_lock:
+            encoded = [
+                encode_batch(
+                    self.tokenizer,
+                    pairs[start : start + step],
+                    max_length=self.max_length,
+                )
+                for start in range(0, len(pairs), step)
+            ]
         all_scores: list[float] = []
         for batch, scores in zip(encoded, self._score_encoded(encoded)):
             all_scores.extend(float(s) for s in scores[: batch.n_valid])
@@ -236,14 +246,15 @@ class RerankerClient:
             order[start : start + self.batch_size]
             for start in range(0, len(order), self.batch_size)
         ]
-        encoded = [
-            encode_batch(
-                self.tokenizer,
-                [pairs[i] for i in chunk],
-                max_length=self.max_length,
-            )
-            for chunk in chunks
-        ]
+        with self._tokenizer_lock:
+            encoded = [
+                encode_batch(
+                    self.tokenizer,
+                    [pairs[i] for i in chunk],
+                    max_length=self.max_length,
+                )
+                for chunk in chunks
+            ]
         for chunk, bucket_scores in zip(chunks, self._score_encoded(encoded)):
             for i, s in zip(chunk, bucket_scores):
                 scores[i] = float(s)
@@ -301,29 +312,46 @@ class RerankerClient:
         """
         if keep <= 0 or stage1_doc_tokens <= 0:
             raise ValueError("keep and stage1_doc_tokens must be positive")
-        stage1 = self.rerank_grouped_sync(
-            queries, docs_grouped, suffix_cap=stage1_doc_tokens
-        )
+        # Stage 1 only for groups that actually need pruning: a group with
+        # len(docs) <= keep rescores everything at full length anyway, so
+        # its truncated prescreen would be pure wasted compute (and at
+        # keep >= rerank_top the cascade now equals the full pipeline's
+        # cost exactly, as the docstring promises).
+        need = [i for i, docs in enumerate(docs_grouped) if len(docs) > keep]
+        stage1: dict[int, list[float]] = {}
+        if need:
+            scored = self.rerank_grouped_sync(
+                [queries[i] for i in need],
+                [docs_grouped[i] for i in need],
+                suffix_cap=stage1_doc_tokens,
+            )
+            stage1 = dict(zip(need, scored))
         rescore_q: list[str] = []
         rescore_docs: list[list[str]] = []
         slots: list[list[int]] = []
-        for query, docs, scores in zip(queries, docs_grouped, stage1):
-            if len(docs) <= keep:
+        for gi, (query, docs) in enumerate(zip(queries, docs_grouped)):
+            if gi in stage1:
+                top = sorted(
+                    range(len(docs)),
+                    key=lambda i: stage1[gi][i],
+                    reverse=True,
+                )[:keep]
+            else:
                 # Nothing pruned: full-length rescore of everything.
                 top = list(range(len(docs)))
-            else:
-                top = sorted(
-                    range(len(docs)), key=lambda i: scores[i], reverse=True
-                )[:keep]
             rescore_q.append(query)
             rescore_docs.append([docs[i] for i in top])
             slots.append(top)
         stage2 = self.rerank_grouped_sync(rescore_q, rescore_docs)
-        out = [list(scores) for scores in stage1]
+        out = [
+            list(stage1[gi]) if gi in stage1 else [0.0] * len(docs)
+            for gi, docs in enumerate(docs_grouped)
+        ]
         for gi, (top, rescored) in enumerate(zip(slots, stage2)):
             for pos, score in zip(top, rescored):
                 out[gi][pos] = score
-            pruned = [i for i in range(len(out[gi])) if i not in set(top)]
+            kept = set(top)
+            pruned = [i for i in range(len(out[gi])) if i not in kept]
             if pruned and rescored:
                 # Ordinal composition: pruned candidates keep stage-1 order
                 # in a THIN band just under the worst rescored score. The
@@ -373,6 +401,12 @@ class RerankerClient:
                 q for q, docs in zip(queries, docs_grouped) for _ in docs
             ]
             flat_d = [d for docs in docs_grouped for d in docs]
+            if suffix_cap is not None:
+                # Cascade prescreen without the prefix/suffix split: cap the
+                # documents by token count so stage 1 still runs truncated
+                # (it previously ran at FULL length here — costing more
+                # than no cascade while claiming a prescreen happened).
+                flat_d = self._truncate_docs(flat_d, suffix_cap)
             flat = self.rerank_pairs_sync(flat_q, flat_d)
             out, start = [], 0
             for docs in docs_grouped:
@@ -393,16 +427,33 @@ class RerankerClient:
             if not docs:
                 continue
             pairs = [self._format_pair(query, d) for d in docs]
-            token_lists = self.tokenizer(
-                pairs, truncation=True, max_length=self.max_length
-            )["input_ids"]
-            shared = len(token_lists[0])
+            with self._tokenizer_lock:
+                token_lists = self.tokenizer(
+                    pairs, truncation=True, max_length=self.max_length
+                )["input_ids"]
+            # Longest common token prefix across the group. Slice equality
+            # compares at C speed; a per-token Python loop here costs
+            # O(docs x prefix_len) interpreter steps per group, straight
+            # latency on the host-bound path. Rows almost always match the
+            # running prefix wholesale (identical <Instruct>+<Query>), so
+            # the common case is one slice compare; mismatches bisect.
+            row0 = token_lists[0]
+            shared = len(row0)
             for row in token_lists[1:]:
                 limit = min(shared, len(row))
-                i = 0
-                while i < limit and row[i] == token_lists[0][i]:
-                    i += 1
-                shared = i
+                if row[:limit] == row0[:limit]:
+                    shared = limit
+                    continue
+                lo, hi = 0, limit  # row[:lo] == row0[:lo]; mismatch <= hi
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if row[:mid] == row0[:mid]:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                shared = lo
+                if shared == 0:
+                    break
             shared = min(shared, min(len(row) for row in token_lists) - 1)
             if shared < self.MIN_SHARED_PREFIX:
                 for pos, doc in enumerate(docs):
@@ -529,6 +580,10 @@ class RerankerClient:
                 results[gi] = [float(s) for s in host[row, : len(suffixes)]]
 
         if fallback_q:
+            if suffix_cap is not None:
+                # Honor the cascade prescreen on tiny-prefix groups too
+                # (same doc-token truncation as the flat path above).
+                fallback_d = self._truncate_docs(fallback_d, suffix_cap)
             flat = self.rerank_pairs_sync(fallback_q, fallback_d)
             for (gi, pos), score in zip(fallback_slots, flat):
                 results[gi][pos] = score

@@ -97,6 +97,54 @@ class TestCascade:
         ]
         assert max(diffs) > 1e-4
 
+    def test_prescreen_truncates_on_prefix_disabled_fallback(
+        self, client, monkeypatch
+    ):
+        """With the prefix path disabled, suffix_cap must still truncate
+        the prescreen (it previously ran at FULL length silently — costing
+        more than no cascade while claiming a prescreen happened)."""
+        monkeypatch.setenv("LEAN_EXPLORE_RERANK_PREFIX", "0")
+        full = client.rerank_grouped_sync(QUERIES, DOCS)
+        capped = client.rerank_grouped_sync(QUERIES, DOCS, suffix_cap=3)
+        diffs = [
+            abs(f - c)
+            for fr, cr in zip(full, capped)
+            for f, c in zip(fr, cr)
+        ]
+        assert max(diffs) > 1e-4
+
+    def test_stage1_skipped_when_nothing_to_prune(self, client, monkeypatch):
+        """Groups with len(docs) <= keep must not pay a truncated stage-1
+        forward (their prescreen scores would be discarded entirely)."""
+        calls = []
+        orig = client.rerank_grouped_sync
+
+        def spy(queries, docs_grouped, **kw):
+            calls.append((len(queries), kw.get("suffix_cap")))
+            return orig(queries, docs_grouped, **kw)
+
+        monkeypatch.setattr(client, "rerank_grouped_sync", spy)
+        client.rerank_grouped_cascade_sync(
+            QUERIES, DOCS, stage1_doc_tokens=4, keep=10
+        )
+        # keep >= every group size -> no stage-1 call at all, one rescore.
+        assert calls == [(len(QUERIES), None)]
+        calls.clear()
+        client.rerank_grouped_cascade_sync(
+            QUERIES, DOCS, stage1_doc_tokens=4, keep=2
+        )
+        assert calls == [(len(QUERIES), 4), (len(QUERIES), None)]
+
+    def test_explicit_dtype_wins_over_int8_env(
+        self, tmp_path_factory, monkeypatch
+    ):
+        monkeypatch.setenv("LEAN_EXPLORE_RERANKER_INT8", "1")
+        ckpt = make_tiny_model_dir(tmp_path_factory.mktemp("rrc_int8") / "m")
+        explicit = RerankerClient(str(ckpt), model_dir=ckpt, dtype="float32")
+        assert not explicit.int8
+        defaulted = RerankerClient(str(ckpt), model_dir=ckpt)
+        assert defaulted.int8
+
     def test_env_opt_in_routes_cascade(self, client, monkeypatch):
         monkeypatch.setenv("LEAN_EXPLORE_RERANK_CASCADE", "512,10")
         got = asyncio.run(client.rerank_grouped(QUERIES, DOCS))
