@@ -256,6 +256,42 @@ def _use_flash(seq_len: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _layer_body(
+    x: jnp.ndarray,
+    p: dict,
+    *,
+    shape3: tuple,
+    nq: int,
+    nkv: int,
+    dh: int,
+    eps: float,
+    rope,
+    attend,
+):
+    """One transformer layer: the SINGLE definition of the
+    norm -> qkv -> q/k-norm -> RoPE -> attention -> o_proj -> post-norm ->
+    MLP sequence. The full forward, the prefix-KV builder, and the
+    suffix-over-cached-KV scorer all wrap this with their own ``attend``
+    closure and RoPE position handling — so a numerical fix lands in every
+    path at once and the grouped rerank scores cannot drift from the full
+    forward they are parity-pinned against.
+
+    Returns (new_x, (k_rotated, v)): callers that cache KV keep the aux
+    (keys are cached post-RoPE, matching what the full forward attends to);
+    others drop it.
+    """
+    h = _rms_norm(x, p["input_norm"], eps)
+    q, k, v = _qkv(h, p, shape3, nq, nkv, dh)
+    q = _rms_norm(q, p["q_norm"], eps)
+    k = _rms_norm(k, p["k_norm"], eps)
+    q = rope(q)
+    k = rope(k)
+    attn_out = attend(q, k, v)
+    x = x + _proj(attn_out, p["o_proj"])
+    h = _rms_norm(x, p["post_norm"], eps)
+    return x + _mlp(h, p), (k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "flash"))
 def _forward_hidden_impl(
     params: dict,
@@ -285,19 +321,17 @@ def _forward_hidden_impl(
     eps = config.rms_norm_eps
 
     def layer(x, p):
-        h = _rms_norm(x, p["input_norm"], eps)
-        q, k, v = _qkv(h, p, (batch, seq), nq, nkv, dh)
-        q = _rms_norm(q, p["q_norm"], eps)
-        k = _rms_norm(k, p["k_norm"], eps)
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
         if flash:
-            attn_out = _attention_flash(q, k, v, attention_mask)
+            attend = lambda q, k, v: _attention_flash(  # noqa: E731
+                q, k, v, attention_mask
+            )
         else:
-            attn_out = _attention(q, k, v, bias)
-        x = x + _proj(attn_out, p["o_proj"])
-        h = _rms_norm(x, p["post_norm"], eps)
-        return x + _mlp(h, p), None
+            attend = lambda q, k, v: _attention(q, k, v, bias)  # noqa: E731
+        new_x, _ = _layer_body(
+            x, p, shape3=(batch, seq), nq=nq, nkv=nkv, dh=dh, eps=eps,
+            rope=lambda t: _apply_rope(t, cos, sin), attend=attend,
+        )
+        return new_x, None
 
     x, _ = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
     return _rms_norm(x, params["final_norm"], eps)
@@ -313,8 +347,12 @@ def forward_hidden(
 ) -> jnp.ndarray:
     """Trunk forward: [B, T] ids + 0/1 mask -> final-norm hidden [B, T, H].
 
-    flash=None auto-selects the Pallas flash-attention path on TPU for
-    sequences >= 256 (disable globally with LEAN_EXPLORE_NO_FLASH_ATTENTION).
+    flash=None defers to _use_flash: the Pallas flash-attention path is
+    OPT-IN via LEAN_EXPLORE_FLASH_ATTENTION=1 (measured 1.3x slower than
+    the einsum at the serving shapes, docs/performance.md) and off
+    otherwise. The env var is read at TRACE time — jitted callers bake the
+    choice into each compiled (config, shape) executable, so toggling it
+    mid-process does not affect shapes already compiled.
     """
     if flash is None:
         flash = _use_flash(int(input_ids.shape[1]))
@@ -353,36 +391,31 @@ def embed_pool(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "pad_id", "eos_is_pad")
-)
+@functools.partial(jax.jit, static_argnames=("config",))
 def embed_pool_from_ids(
     params: dict,
     config: Qwen3Config,
     input_ids: jnp.ndarray,
-    *,
-    pad_id: int,
-    eos_is_pad: bool = False,
+    lengths: jnp.ndarray,
 ) -> jnp.ndarray:
-    """embed_pool with the mask derived in-graph from right-padded ids.
+    """embed_pool with the [B, T] mask expanded in-graph from row lengths.
 
     The encode stage is host-bound on small serving hosts (round-3
-    performance.md: 283 ms around a 58 ms forward); shipping only the ids
-    halves the host->device transfers and drops the host-side mask
-    construction. Contract: rows are right-padded with ``pad_id``, content
-    is contiguous from column 0, and real content never contains the pad
-    special (HF tokenizers never emit it for text). ``eos_is_pad`` handles
-    tokenizers whose pad token IS the eos token (e.g. Qwen's BPE): each
-    non-empty row then carries exactly one appended EOS that must stay
-    valid, so the row length is non-pad-count + 1. Every row keeps at
-    least one valid position (padding-only bucket rows pool column 0 and
-    are discarded), exactly like encode_batch's host mask.
+    performance.md: 283 ms around a 58 ms forward); shipping the ids plus
+    a [B] length vector instead of a full [B, T] mask halves the
+    host->device transfer on the encode hot path. Deriving validity from
+    LENGTHS (which the host tokenizer knows exactly) rather than from
+    pad-token counting makes the mask correct even when document text
+    literally contains the pad/eos special string — HF fast tokenizers
+    encode such occurrences as the special id by default, which an
+    ids-only pad-count would misread as padding and silently truncate
+    the real tail (including the pooled EOS). Rows must be right-padded
+    with contiguous content from column 0; every row keeps at least one
+    valid position (padding-only bucket rows pool column 0 and are
+    discarded), exactly like encode_batch's host mask.
     """
     seq = input_ids.shape[1]
-    count = jnp.sum(input_ids != pad_id, axis=1)
-    if eos_is_pad:
-        count = count + 1
-    valid_len = jnp.clip(count, 1, seq)
+    valid_len = jnp.clip(lengths, 1, seq)
     mask = (
         jnp.arange(seq)[None, :] < valid_len[:, None]
     ).astype(jnp.int32)
@@ -492,16 +525,11 @@ def prefix_kv(
     eps = config.rms_norm_eps
 
     def layer(x, p):
-        h = _rms_norm(x, p["input_norm"], eps)
-        q, k, v = _qkv(h, p, (batch, seq), nq, nkv, dh)
-        q = _rms_norm(q, p["q_norm"], eps)
-        k = _rms_norm(k, p["k_norm"], eps)
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
-        attn_out = _attention(q, k, v, bias)
-        x = x + _proj(attn_out, p["o_proj"])
-        h = _rms_norm(x, p["post_norm"], eps)
-        return x + _mlp(h, p), (k, v)
+        return _layer_body(
+            x, p, shape3=(batch, seq), nq=nq, nkv=nkv, dh=dh, eps=eps,
+            rope=lambda t: _apply_rope(t, cos, sin),
+            attend=lambda q, k, v: _attention(q, k, v, bias),
+        )
 
     _, (ks, vs) = lax.scan(lambda carry, p: layer(carry, p), x, params["layers"])
     return ks, vs
@@ -519,7 +547,9 @@ def _suffix_attention(
 
     q: [C, D, S, NQ, DH]; pk/pv: [C, P, NKV, DH] (shared across each group's
     D documents — broadcast in the einsum, never materialized per row);
-    k/v: [C, D, S, NKV, DH]; bias: [C, D, 1, 1, S, P+S].
+    k/v: [C, D, S, NKV, DH]; bias: [C, D, 1, S, P+S] (the GQA group axis
+    is inserted HERE via bias[:, :, :, None, :, :] — callers must not
+    pre-insert it).
     """
     c, d, s, nq, dh = q.shape
     p = pk.shape[1]
@@ -592,16 +622,12 @@ def _suffix_forward_scores(
 
     def layer(x, scanned):
         p, pk, pv = scanned
-        h = _rms_norm(x, p["input_norm"], eps)
-        q, k, v = _qkv(h, p, (c, d, s), nq, nkv, dh)
-        q = _rms_norm(q, p["q_norm"], eps)
-        k = _rms_norm(k, p["k_norm"], eps)
-        q = rope(q)
-        k = rope(k)
-        attn_out = _suffix_attention(q, pk, pv, k, v, bias)
-        x = x + _proj(attn_out, p["o_proj"])
-        h = _rms_norm(x, p["post_norm"], eps)
-        return x + _mlp(h, p), None
+        new_x, _ = _layer_body(
+            x, p, shape3=(c, d, s), nq=nq, nkv=nkv, dh=dh, eps=eps,
+            rope=rope,
+            attend=lambda q, k, v: _suffix_attention(q, pk, pv, k, v, bias),
+        )
+        return new_x, None
 
     x, _ = lax.scan(layer, x, (params["layers"], pk_c, pv_c))
     hidden = _rms_norm(x, params["final_norm"], eps)
@@ -784,6 +810,12 @@ def fuse_params_for_serving(params: dict) -> dict:
     if both are wanted).
     """
     layers = dict(params["layers"])
+    if "qkv_proj" in layers:
+        raise ValueError(
+            "params are already fused for serving (qkv_proj present); "
+            "fuse_params_for_serving is not idempotent — fuse the "
+            "per-projection checkpoint once"
+        )
     for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
         if isinstance(layers.get(name), dict):
             raise ValueError(

@@ -160,9 +160,6 @@ class EmbeddingClient:
         prompted = (
             [self.query_prompt + t for t in texts] if is_query else list(texts)
         )
-        pad_id = self.tokenizer.pad_token_id
-        if pad_id is None:
-            pad_id = self.tokenizer.eos_token_id or 0
         out = []
         for start in range(0, len(prompted), self.batch_size):
             chunk = prompted[start : start + self.batch_size]
@@ -173,19 +170,16 @@ class EmbeddingClient:
                 append_eos=self.append_eos,
             )
             if self._data_sharding is None:
-                # Ids-only dispatch: the mask is derived in-graph from the
-                # right-padded ids (qwen3.embed_pool_from_ids) — half the
-                # host->device transfers on the encode hot path. eos_is_pad
-                # covers tokenizers whose appended EOS equals the pad token.
+                # Ids + [B] lengths dispatch: the [B, T] mask is expanded
+                # in-graph (qwen3.embed_pool_from_ids) — half the
+                # host->device transfer on the encode hot path, with
+                # validity taken from the tokenizer's exact row lengths.
                 emb = qwen3_mod.embed_pool_from_ids(
                     self.params,
                     self.config,
                     np.asarray(batch.input_ids),
-                    pad_id=int(pad_id),
-                    eos_is_pad=bool(
-                        self.append_eos
-                        and self.tokenizer.eos_token_id is not None
-                        and int(pad_id) == int(self.tokenizer.eos_token_id)
+                    np.asarray(
+                        batch.attention_mask.sum(axis=1), dtype=np.int32
                     ),
                 )
             else:

@@ -1,8 +1,10 @@
 """embed_pool_from_ids parity: in-graph masks == encode_batch host masks.
 
-The ids-only encode dispatch ships half the bytes and skips host mask
-construction; these tests pin its derived mask to the host path for every
-padding/bucketing/eos configuration the client produces.
+The ids+lengths encode dispatch ships half the bytes of an explicit
+[B, T] mask; these tests pin the in-graph mask expansion to the host path
+for every padding/bucketing configuration the client produces — including
+the case that killed the earlier pad-counting derivation: document text
+containing the literal pad/eos token id mid-row.
 """
 
 import numpy as np
@@ -33,15 +35,18 @@ def make_right_padded(rows: list[list[int]], seq: int, pad: int):
     for i, row in enumerate(rows):
         ids[i, : len(row)] = row
         mask[i, : len(row)] = 1
-    mask[:, 0] = np.maximum(mask[:, 0], 0)
     for i, row in enumerate(rows):
         if not row:
             mask[i, 0] = 1
     return ids, mask
 
 
+def lengths_of(mask: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(mask.sum(axis=1).astype(np.int32))
+
+
 class TestEmbedFromIds:
-    def test_matches_host_mask_distinct_pad(self, model):
+    def test_matches_host_mask(self, model):
         config, params = model
         rows = [[5, 6, 7, EOS], [9, 10, EOS], [11, EOS], []]
         ids, mask = make_right_padded(rows, 8, PAD)
@@ -50,15 +55,15 @@ class TestEmbedFromIds:
         )
         got = np.asarray(
             qwen3.embed_pool_from_ids(
-                params, config, jnp.asarray(ids), pad_id=PAD
+                params, config, jnp.asarray(ids), lengths_of(mask)
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_matches_host_mask_eos_is_pad(self, model):
         """pad == eos (Qwen BPE convention): the appended EOS must stay
-        valid — naive ids != pad would mask it and move the pooled
-        position."""
+        valid. Length-based masks get this for free where pad-counting
+        needed a +1 correction."""
         config, params = model
         pad = EOS  # pad token IS the eos token
         rows = [[5, 6, 7, EOS], [9, 10, EOS], [11, EOS]]
@@ -73,22 +78,36 @@ class TestEmbedFromIds:
         )
         got = np.asarray(
             qwen3.embed_pool_from_ids(
-                params, config, jnp.asarray(ids), pad_id=pad, eos_is_pad=True
+                params, config, jnp.asarray(ids), lengths_of(mask)
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
-        # And the naive derivation WOULD have differed (pooled one token
-        # earlier), which is what eos_is_pad exists to prevent.
-        naive = np.asarray(
+
+    def test_pad_token_inside_content_stays_valid(self, model):
+        """Text that tokenizes to the pad id MID-ROW (e.g. a document
+        containing the literal '<|endoftext|>' string) must not shorten
+        the mask — the regression the lengths-based contract fixes."""
+        config, params = model
+        pad = EOS
+        row = [5, EOS, 7, 8, EOS]  # interior pad-valued ids are content
+        seq = 8
+        ids = np.full((1, seq), pad, dtype=np.int32)
+        ids[0, : len(row)] = row
+        mask = np.zeros((1, seq), dtype=np.int32)
+        mask[0, : len(row)] = 1
+        want = np.asarray(
+            qwen3.embed_pool(params, config, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        got = np.asarray(
             qwen3.embed_pool_from_ids(
-                params, config, jnp.asarray(ids), pad_id=pad, eos_is_pad=False
+                params, config, jnp.asarray(ids), lengths_of(mask)
             )
         )
-        assert np.abs(naive - want).max() > 1e-4
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
-    def test_full_length_row_with_eos_is_pad(self, model):
+    def test_full_length_row(self, model):
         """A row truncated at max_length (eos at the last column) must not
-        overflow the +1 length correction."""
+        overflow the clip."""
         config, params = model
         pad = EOS
         seq = 6
@@ -100,7 +119,7 @@ class TestEmbedFromIds:
         )
         got = np.asarray(
             qwen3.embed_pool_from_ids(
-                params, config, jnp.asarray(ids), pad_id=pad, eos_is_pad=True
+                params, config, jnp.asarray(ids), lengths_of(mask)
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
@@ -108,7 +127,7 @@ class TestEmbedFromIds:
 
 class TestClientPath:
     def test_embed_device_matches_mesh_host_mask_path(self, tmp_path):
-        """The single-device ids-only path and the mesh host-mask path
+        """The single-device ids+lengths path and the mesh host-mask path
         produce identical embeddings for the same client inputs."""
         from lean_explore_tpu.parallel import SERVE_AXES, make_mesh
         from lean_explore_tpu.util.embedding_client import EmbeddingClient
