@@ -68,8 +68,6 @@ def init_distributed(
     domain and put ``data`` (independent query sub-batches — one all_gather
     per batch, no other cross-shard traffic) on the DCN boundary.
     """
-    import jax
-
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -24,11 +24,22 @@ from lean_explore_tpu.ops.dense import NEG_INF, _scores_tile
 
 
 def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
-    """Exact top-k over one corpus shard; indices are global rows."""
+    """Exact top-k over one corpus shard; indices are global rows.
+
+    Kept separate from ops.dense._chunked_topk because the shard-local
+    validity mask differs: shard rows are padded HERE (inside shard_map,
+    so any shard row count works — the single-device path pads at the
+    caller), and a padded local row's GLOBAL column can fall inside the
+    next shard's range, so validity needs both the local-row bound and
+    the global n_valid bound.
+    """
     batch = q.shape[0]
     rows = shard.shape[0]
-    num_chunks = max(rows // chunk, 1)
-    chunk = rows // num_chunks
+    chunk = min(chunk, rows)
+    padded = ((rows + chunk - 1) // chunk) * chunk
+    if padded != rows:
+        shard = jnp.pad(shard, ((0, padded - rows), (0, 0)))
+    num_chunks = padded // chunk
     tiles = shard.reshape(num_chunks, chunk, shard.shape[1])
     k_chunk = min(k, chunk)
 
@@ -36,8 +47,11 @@ def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
         best_s, best_i = carry
         tile, start = inputs
         scores = _scores_tile(q, tile)
-        col = row_offset + start + lax.broadcasted_iota(jnp.int32, (batch, chunk), 1)
-        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        local_col = start + lax.broadcasted_iota(jnp.int32, (batch, chunk), 1)
+        col = row_offset + local_col
+        scores = jnp.where(
+            (local_col < rows) & (col < n_valid), scores, NEG_INF
+        )
         ts, tp = lax.top_k(scores, k_chunk)
         ti = row_offset + start + tp.astype(jnp.int32)
         cs = jnp.concatenate([best_s, ts], axis=1)
@@ -55,42 +69,95 @@ def _local_topk_chunked(q, shard, row_offset, n_valid, k: int, chunk: int):
     return scores, idx
 
 
+def _local_full_topk(q, shard, row_offset, n_valid, *, k):
+    """Exact single-matmul top-k over one shard (the k > bins fallback —
+    mirrors ops.dense dense_topk's _full_topk escape at dense.py:305)."""
+    batch = q.shape[0]
+    rows = shard.shape[0]
+    scores = _scores_tile(q, shard)
+    col = row_offset + lax.broadcasted_iota(jnp.int32, (batch, rows), 1)
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+    local_k = min(k, rows)
+    s, pos = lax.top_k(scores, local_k)
+    s, pos = _pad_local_k(s, pos, k, local_k)
+    return s, row_offset + pos.astype(jnp.int32)
+
+
+def _pad_local_k(s, pos, k: int, local_k: int):
+    """Pad a [B, local_k] selection to [B, k] so all_gather shapes agree."""
+    if local_k < k:
+        s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
+        pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
+    return s, pos
+
+
+def _shard_bins(rows: int, batch: int) -> int:
+    """The fused kernel's bin count for one shard (VMEM-capped; see
+    ops.dense fused_pallas rationale — round-3 default 4096)."""
+    bins = 4096
+    local_batch = max(batch, 8)
+    while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
+        bins //= 2
+    while bins > rows and bins > 1024:
+        bins //= 2
+    return bins
+
+
+def _local_topk_fused_common(
+    kernel, q, rows: int, row_offset, n_valid, *, k, recall_target
+):
+    """Shared scaffolding for the f32/int8 fused per-shard selections:
+    bins sizing, the k > bins exact fallback, local-k padding, and the
+    packed-zero sentinel masking (round-4 fix — applied ONCE here so the
+    twins cannot drift).
+
+    ``kernel(local_valid, local_k, bins)`` runs the dtype-specific Pallas
+    call and returns (scores, local positions).
+    """
+    local_k = min(k, rows)
+    local_valid = jnp.clip(n_valid - row_offset, 0, rows)
+    bins = _shard_bins(rows, q.shape[0])
+    if local_k > bins:
+        return None  # caller falls back to the exact scan
+    s, pos = kernel(local_valid, local_k, bins)
+    s, pos = _pad_local_k(s, pos, k, local_k)
+    # Pad rows (any shard whose valid rows < local_k, not just fully
+    # padded shards) yield packed-zero sentinels that unpack to -3.0
+    # with pad-row indices; real scores are >= -1. Mask each such
+    # candidate — and clamp its GLOBAL index to 0 (row_offset itself can
+    # exceed n_valid on an all-pad shard) — so the cross-shard merge can
+    # never surface an out-of-range id.
+    sentinel = s <= -2.0
+    s = jnp.where(sentinel, NEG_INF, s)
+    idx = jnp.where(sentinel, 0, row_offset + pos.astype(jnp.int32))
+    return s, idx
+
+
 def _local_topk_fused(q, shard, row_offset, n_valid, *, k, recall_target):
     """Per-shard fused matmul+selection (ops/pallas_retrieval): the
     single-chip serving default, run under shard_map — each device's
     local n_valid is how many real rows its shard holds."""
     from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk
 
-    rows = shard.shape[0]
-    local_k = min(k, rows)
-    local_valid = jnp.clip(n_valid - row_offset, 0, rows)
-    bins = 4096  # round-3 default; see ops.dense fused_pallas rationale
-    local_batch = max(q.shape[0], 8)
-    while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
-        bins //= 2  # VMEM cap; see ops.dense fused_pallas
-    while bins > rows and bins > 1024:
-        bins //= 2
-    s, pos = pallas_bin_topk(
-        q,
-        shard,
-        local_valid,
-        k=local_k,
-        bins=bins,
-        tile_rows=512,
-        recall_target=max(recall_target, 0.99),  # free over [B, bins]
-        interpret=jax.default_backend() != "tpu",
+    def kernel(local_valid, local_k, bins):
+        return pallas_bin_topk(
+            q,
+            shard,
+            local_valid,
+            k=local_k,
+            bins=bins,
+            tile_rows=512,
+            recall_target=max(recall_target, 0.99),  # free over [B, bins]
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    out = _local_topk_fused_common(
+        kernel, q, shard.shape[0], row_offset, n_valid,
+        k=k, recall_target=recall_target,
     )
-    if local_k < k:
-        s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
-        pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
-    # Pad rows (any shard whose valid rows < local_k, not just fully
-    # padded shards) yield packed-zero sentinels that unpack to -3.0
-    # with pad-row indices; real scores are >= -1. Mask each such
-    # candidate so the cross-shard merge can never surface one.
-    sentinel = s <= -2.0
-    s = jnp.where(sentinel, NEG_INF, s)
-    pos = jnp.where(sentinel, 0, pos)
-    return s, row_offset + pos.astype(jnp.int32)
+    if out is None:  # k > bins: exact scan, like ops.dense dense_topk
+        return _local_full_topk(q, shard, row_offset, n_valid, k=k)
+    return out
 
 
 def _local_topk_fused_int8(
@@ -101,34 +168,28 @@ def _local_topk_fused_int8(
     scale is exactly where int8's halved HBM footprint pays)."""
     from lean_explore_tpu.ops.pallas_retrieval import pallas_bin_topk_int8
 
-    rows = codes.shape[0]
-    local_k = min(k, rows)
-    local_valid = jnp.clip(n_valid - row_offset, 0, rows)
-    bins = 4096  # round-3 default; see ops.dense fused_pallas rationale
-    local_batch = max(q.shape[0], 8)
-    while bins * local_batch * 8 > 8 * 1024 * 1024 and bins > 1024:
-        bins //= 2
-    while bins > rows and bins > 1024:
-        bins //= 2
-    s, pos = pallas_bin_topk_int8(
-        q,
-        codes,
-        scales,
-        local_valid,
-        k=local_k,
-        bins=bins,
-        tile_rows=512,
-        recall_target=max(recall_target, 0.99),
-        interpret=jax.default_backend() != "tpu",
+    def kernel(local_valid, local_k, bins):
+        return pallas_bin_topk_int8(
+            q,
+            codes,
+            scales,
+            local_valid,
+            k=local_k,
+            bins=bins,
+            tile_rows=512,
+            recall_target=max(recall_target, 0.99),
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    out = _local_topk_fused_common(
+        kernel, q, codes.shape[0], row_offset, n_valid,
+        k=k, recall_target=recall_target,
     )
-    if local_k < k:
-        s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
-        pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
-    # Same per-candidate sentinel masking as the f32 twin.
-    sentinel = s <= -2.0
-    s = jnp.where(sentinel, NEG_INF, s)
-    pos = jnp.where(sentinel, 0, pos)
-    return s, row_offset + pos.astype(jnp.int32)
+    if out is None:
+        # k > bins fallback: exact scan over dequantized scores.
+        shard = codes.astype(jnp.float32) * scales[:, None]
+        return _local_full_topk(q, shard, row_offset, n_valid, k=k)
+    return out
 
 
 def make_sharded_topk(
@@ -144,7 +205,25 @@ def make_sharded_topk(
     "fused_int8" returns fn(queries, codes, scales, n_valid) over an
     int8-quantized corpus.
     """
-    n_corpus = mesh.shape["corpus"]
+    def _merge_shards(local_s, local_i, *, exact: bool):
+        """Gather every shard's [B, k] candidates and re-select. Exact
+        local methods keep the exact merge; approximate locals pair with
+        the PartialReduce merge (lax.top_k over n_shards*k columns would
+        dominate at high shard counts) at recall_target >= 0.99 — over a
+        candidate set two orders smaller than the corpus a high target is
+        measured free (ops.dense dense_topk rationale), so the merge adds
+        no recall loss on top of the per-shard selection."""
+        all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
+        all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
+        if exact:
+            best_s, pos = lax.top_k(all_s, k)
+        else:
+            best_s, pos = lax.approx_max_k(
+                all_s, k, recall_target=max(recall_target, 0.99)
+            )
+            pos = pos.astype(jnp.int32)
+        best_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return best_s, best_i
 
     if method == "fused_int8":
 
@@ -156,11 +235,7 @@ def make_sharded_topk(
                 q, codes, scales, row_offset, n_valid[0],
                 k=k, recall_target=recall_target,
             )
-            all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
-            all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
-            best_s, pos = lax.approx_max_k(all_s, k, recall_target=recall_target)
-            best_i = jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
-            return best_s, best_i
+            return _merge_shards(local_s, local_i, exact=False)
 
         mapped = shard_map(
             inner_int8,
@@ -179,10 +254,14 @@ def make_sharded_topk(
         scores = jnp.where(col < n_valid, scores, NEG_INF)
         local_k = min(k, rows)
         s, pos = lax.approx_max_k(scores, local_k, recall_target=recall_target)
-        if local_k < k:  # pad so the all_gather shapes stay [B, k]
-            s = jnp.pad(s, ((0, 0), (0, k - local_k)), constant_values=NEG_INF)
-            pos = jnp.pad(pos, ((0, 0), (0, k - local_k)))
-        return s, row_offset + pos.astype(jnp.int32)
+        s, pos = _pad_local_k(s, pos, k, local_k)
+        # NEG_INF candidates (masked pad rows a shard with few valid rows
+        # still selects) carry pad-row positions; clamp their GLOBAL index
+        # to 0 so a NEG_INF survivor of the approximate merge can never
+        # index past ids (same fix the fused twins got in round 4).
+        masked = s <= NEG_INF / 2
+        idx = jnp.where(masked, 0, row_offset + pos.astype(jnp.int32))
+        return s, idx
 
     def inner(q, corpus, n_valid):
         shard_rows = corpus.shape[0]  # rows per device inside shard_map
@@ -199,22 +278,7 @@ def make_sharded_topk(
             local_s, local_i = _local_topk_chunked(
                 q, corpus, row_offset, n_valid[0], k=k, chunk=min(chunk, shard_rows)
             )
-        # Merge across the corpus axis: gather every shard's candidates and
-        # re-select. Each candidate set is [B, k]; gathered [B, n_shards*k].
-        # Exact local methods keep the exact merge; approximate local
-        # selections pair with the cheap PartialReduce merge (lax.top_k over
-        # n_shards*k columns would otherwise dominate at high shard counts).
-        all_s = lax.all_gather(local_s, "corpus", axis=1, tiled=True)
-        all_i = lax.all_gather(local_i, "corpus", axis=1, tiled=True)
-        if method == "chunked":
-            best_s, pos = lax.top_k(all_s, k)
-        else:
-            best_s, pos = lax.approx_max_k(
-                all_s, k, recall_target=recall_target
-            )
-            pos = pos.astype(jnp.int32)
-        best_i = jnp.take_along_axis(all_i, pos, axis=1)
-        return best_s, best_i
+        return _merge_shards(local_s, local_i, exact=(method == "chunked"))
 
     mapped = shard_map(
         inner,
@@ -229,11 +293,15 @@ def make_sharded_topk(
 
 
 class ShardedDenseIndex:
-    """Mesh-sharded exact inner-product index.
+    """Mesh-sharded inner-product index.
 
     The corpus matrix is padded so rows divide evenly across the ``corpus``
     axis and placed with a row sharding; searches run the all-gather-merge
-    program above.
+    program above. Selection is EXACT for the "chunked" method (small
+    shards); the auto-selected "fused"/"approx" methods at scale are
+    approximate per-shard selections at recall_target >= 0.99 with a
+    >= 0.99 merge — the same recall story as the single-device
+    ops.dense.dense_topk (measured recall@10 ~1.0, recall@1000 ~0.99).
     """
 
     def __init__(
@@ -301,7 +369,8 @@ class ShardedDenseIndex:
         self._topk_fns: dict[int, object] = {}
 
     def search(self, query_embeddings, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-k across all shards; returns (scores, declaration ids)."""
+        """Top-k across all shards (exactness per the class docstring);
+        returns (scores, declaration ids)."""
         k = min(k, self.n)
         q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
         n_data = self.mesh.shape["data"]

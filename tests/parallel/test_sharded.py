@@ -31,6 +31,42 @@ class TestShardedDenseIndex:
         assert ids.max() < 103
         assert np.all(np.isfinite(scores))
 
+    def test_chunked_shard_rows_not_divisible_by_chunk(self):
+        """Shard rows that don't divide the chunk size pad INSIDE the
+        shard_map body (previously a reshape TypeError at trace time),
+        and the pad rows — whose global columns fall inside the NEXT
+        shard's range — never pollute results."""
+        mesh = make_mesh((1, 2))
+        n = 1250  # 625 rows/shard; chunk 400 -> 625 % 400 != 0
+        corpus = random_unit_rows(n, 16, seed=40)
+        queries = random_unit_rows(4, 16, seed=41)
+        index = ShardedDenseIndex(
+            corpus, np.arange(n), mesh, chunk=400, method="chunked"
+        )
+        scores, ids = index.search(queries, k=10)
+        ref_scores, ref_rows = numpy_topk(queries, corpus, 10)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+        for b in range(4):
+            assert set(ids[b]) == set(ref_rows[b])
+
+    def test_fused_k_above_bins_falls_back_to_exact(self):
+        """local_k > the VMEM-capped bin count must degrade to the exact
+        per-shard scan (previously ValueError from pallas_bin_topk),
+        mirroring ops.dense.dense_topk's k > bins escape."""
+        mesh = make_mesh((1, 2))
+        n = 2048  # 1024 rows/shard -> bins floor 1024 < k
+        corpus = random_unit_rows(n, 16, seed=42)
+        queries = random_unit_rows(2, 16, seed=43)
+        index = ShardedDenseIndex(
+            corpus, np.arange(n), mesh, method="fused"
+        )
+        k = 1100
+        scores, ids = index.search(queries, k=k)
+        ref_scores, ref_rows = numpy_topk(queries, corpus, k)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5, rtol=1e-5)
+        for b in range(2):
+            assert set(ids[b]) == set(ref_rows[b])
+
     def test_query_batch_not_divisible_by_data_axis(self):
         mesh = make_mesh((2, 4))
         corpus = random_unit_rows(64, 16, seed=14)
@@ -145,6 +181,7 @@ class TestFusedLocalMethod:
         finite = np.isfinite(s)
         assert finite.sum(axis=1).tolist() == [valid] * 8
         assert np.all(s[finite] >= -1.0 - 1e-3)  # no -3.0 sentinels
-        # Masked candidates point at the shard base, never past valid rows.
-        assert np.all(gi[~finite] == row_offset)
+        # Masked candidates clamp to GLOBAL row 0 (shard base can itself
+        # exceed n_valid on an all-pad shard), never past valid rows.
+        assert np.all(gi[~finite] == 0)
         assert np.all(gi[finite] < row_offset + valid)
