@@ -25,6 +25,25 @@ def load_tokenizer(model_dir: str | Path):
     return AutoTokenizer.from_pretrained(str(model_dir), local_files_only=True)
 
 
+def unk_fraction(tokenizer, texts: list[str], max_texts: int = 64) -> float:
+    """Fraction of <unk> tokens when ``tokenizer`` encodes a text sample.
+
+    Guards evaluations against vocabulary mismatch: scoring a corpus whose
+    words a trained WordLevel tokenizer has never seen silently maps them
+    all to <unk>, and the measurement then describes uniform filler
+    rather than the intended text (e.g. running a long-doc eval against
+    short-doc checkpoints). Returns 0.0 when the tokenizer has no unk id.
+    """
+    unk_id = getattr(tokenizer, "unk_token_id", None)
+    if unk_id is None or not texts:
+        return 0.0
+    rows = tokenizer(list(texts[:max_texts]))["input_ids"]
+    total = sum(len(r) for r in rows)
+    if not total:
+        return 0.0
+    return sum(1 for r in rows for t in r if t == unk_id) / total
+
+
 def bucket_length(n: int, max_length: int, buckets=LENGTH_BUCKETS) -> int:
     """Smallest bucket >= n, capped at max_length."""
     for b in buckets:

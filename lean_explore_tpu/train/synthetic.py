@@ -142,12 +142,22 @@ def make_corpus(
     """Build the corpus, its concept vocabulary, and held-out eval queries.
 
     ``body_sentences`` > 1 appends extra body prose per declaration
-    (_EXTRA_BODY_TEMPLATES, cycled with rotated base-word positions),
-    producing production-length documents (~95 words at 6 sentences vs
-    the default ~22) with the discriminative title still leading — the
+    (_EXTRA_BODY_TEMPLATES, cycled with base-word positions rotated by
+    the template index), producing production-length documents (~110
+    words median at 5 sentences — the committed runs/longdoc regime — vs
+    the default ~22) with the discriminative title still leading: the
     regime the rerank-cascade prescreen and production throughput rows
-    are measured in (docs/performance.md).
+    are measured in (docs/performance.md). Because the rotation is tied
+    to the template index modulo the 6-template pool, each template
+    always carries one fixed word arrangement; values above 7 would
+    repeat a sentence verbatim within a document and are rejected.
     """
+    if body_sentences > len(_EXTRA_BODY_TEMPLATES) + 1:
+        raise ValueError(
+            f"body_sentences={body_sentences} exceeds the "
+            f"{len(_EXTRA_BODY_TEMPLATES)}-template pool + title sentence "
+            "(larger values would repeat sentences verbatim)"
+        )
     rng = np.random.default_rng(seed)
     concepts = make_concepts(n_concepts, rng)
 

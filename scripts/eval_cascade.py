@@ -41,11 +41,11 @@ def main() -> None:
     parser.add_argument("--rerank-top", type=int, default=50)
     parser.add_argument(
         "--body-sentences", type=int, default=1,
-        help="body sentences per doc (6 ~= production length; raise the "
-        "max-lengths to match)",
+        help="body sentences per doc (5 ~= production length, ~110-word "
+        "docs; raise the max-lengths to match)",
     )
-    parser.add_argument("--emb-max-length", type=int, default=64)
-    parser.add_argument("--rr-max-length", type=int, default=128)
+    parser.add_argument("--emb-max-length", "--serve-max-length", type=int, default=64)
+    parser.add_argument("--rr-max-length", "--client-max-length", type=int, default=128)
     parser.add_argument(
         "--points", type=str, nargs="+", default=None,
         help="cascade operating points as '<cap>,<keep>' (default sweep "
@@ -54,6 +54,18 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="tpu")
     args = parser.parse_args()
+
+    default_points = ["32,16", "32,8", "24,12", "16,12", "12,8", "12,25"]
+    points = args.points if args.points else default_points
+    for p in points:  # fail in milliseconds, not after the embed pass
+        try:
+            cap, keep = (int(x) for x in p.split(","))
+            if cap <= 0 or keep <= 0:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--points entry {p!r} must be '<cap>,<keep>' positive ints"
+            ) from None
 
     if args.platform == "cpu":
         import jax
@@ -91,6 +103,20 @@ def main() -> None:
     for decl in store.iter_all(with_embeddings=False):
         ids.append(decl.id)
         texts.append(decl.informalization)
+
+    from lean_explore_tpu.models.tokenizer import unk_fraction
+
+    unk = unk_fraction(emb_client.tokenizer, texts)
+    if unk > 0.2:
+        raise SystemExit(
+            f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
+            "under the embedder's tokenizer — these checkpoints were "
+            "trained on a different corpus regime (e.g. short-doc "
+            "checkpoints vs --body-sentences > 1); the measurement would "
+            "describe uniform <unk> filler, not the intended text. Train "
+            "matching checkpoints first (scripts/train_*_e2e.py with the "
+            "same --body-sentences)."
+        )
     vecs = emb_client.embed_sync(texts, is_query=False)
     store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
     build_index_artifacts(store, work)
@@ -109,8 +135,6 @@ def main() -> None:
     report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval,
                        "body_sentences": args.body_sentences},
               "results": {}}
-    default_points = ["32,16", "32,8", "24,12", "16,12", "12,8", "12,25"]
-    points = args.points if args.points else default_points
     # Operating points: the prescreen token budget is the quality lever
     # (gold top-16 coverage at stage 1: ~100% at 32 doc tokens, ~50% at
     # 12 — measured prescreen-coverage table in docs/performance.md).

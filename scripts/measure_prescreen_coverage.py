@@ -53,10 +53,10 @@ def main() -> None:
     parser.add_argument("--rerank-top", type=int, default=50)
     parser.add_argument(
         "--body-sentences", type=int, default=1,
-        help="body sentences per doc (6 ~= production length)",
+        help="body sentences per doc (5 ~= production length, ~110-word docs)",
     )
-    parser.add_argument("--emb-max-length", type=int, default=64)
-    parser.add_argument("--rr-max-length", type=int, default=128)
+    parser.add_argument("--emb-max-length", "--serve-max-length", type=int, default=64)
+    parser.add_argument("--rr-max-length", "--client-max-length", type=int, default=128)
     parser.add_argument(
         "--caps", type=int, nargs="+", default=[8, 12, 16, 24, 32, 48, 64]
     )
@@ -104,6 +104,20 @@ def main() -> None:
     for decl in store.iter_all(with_embeddings=False):
         ids.append(decl.id)
         texts.append(decl.informalization)
+
+    from lean_explore_tpu.models.tokenizer import unk_fraction
+
+    unk = unk_fraction(emb_client.tokenizer, texts)
+    if unk > 0.2:
+        raise SystemExit(
+            f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
+            "under the embedder's tokenizer — these checkpoints were "
+            "trained on a different corpus regime (e.g. short-doc "
+            "checkpoints vs --body-sentences > 1); the measurement would "
+            "describe uniform <unk> filler, not the intended text. Train "
+            "matching checkpoints first (scripts/train_*_e2e.py with the "
+            "same --body-sentences)."
+        )
     vecs = emb_client.embed_sync(texts, is_query=False)
     store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
     build_index_artifacts(store, work)

@@ -66,12 +66,14 @@ def main() -> None:
     parser.add_argument("--doc-max-length", type=int, default=28)
     parser.add_argument(
         "--body-sentences", type=int, default=1,
-        help="body sentences per document (6 ~= production-length ~95-word "
-        "docs; raise --doc-max-length and --serve-max-length to match)",
+        help="body sentences per document (5 ~= production-length ~110-word "
+        "docs — the committed runs/longdoc regime; raise --doc-max-length "
+        "and --serve-max-length to match)",
     )
     parser.add_argument(
-        "--serve-max-length", type=int, default=64,
-        help="EmbeddingClient max_length for corpus embedding + eval",
+        "--serve-max-length", "--emb-max-length", type=int, default=64,
+        help="EmbeddingClient max_length for corpus embedding + eval "
+        "(--emb-max-length is the same flag's name in the eval scripts)",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(

@@ -59,15 +59,17 @@ def main() -> None:
     parser.add_argument("--max-length", type=int, default=96)
     parser.add_argument(
         "--body-sentences", type=int, default=1,
-        help="body sentences per document (6 ~= production-length docs; "
-        "raise --max-length/--client-max-length/--serve-max-length too)",
+        help="body sentences per document (5 ~= production-length ~110-word "
+        "docs — the committed runs/longdoc regime; raise "
+        "--max-length/--client-max-length/--serve-max-length too)",
     )
     parser.add_argument(
-        "--client-max-length", type=int, default=128,
-        help="RerankerClient pair max_length at direct/pipeline eval",
+        "--client-max-length", "--rr-max-length", type=int, default=128,
+        help="RerankerClient pair max_length at direct/pipeline eval "
+        "(--rr-max-length is the same flag's name in the eval scripts)",
     )
     parser.add_argument(
-        "--serve-max-length", type=int, default=64,
+        "--serve-max-length", "--emb-max-length", type=int, default=64,
         help="EmbeddingClient max_length for corpus embedding",
     )
     parser.add_argument("--rerank-top", type=int, default=50)
