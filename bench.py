@@ -126,8 +126,11 @@ def bench_model_forward(mode: str) -> None:
         gemm_per_token + attn_per_token
     )
     total_flops = batch * seq * flops_per_token
-    if mode != "encode":  # last-position LM head (f32, still counted)
-        total_flops += 2 * batch * h * config.vocab_size
+    if mode != "encode":
+        # Last-position pair logits: rerank_scores reads only the two
+        # scored vocabulary columns (_pair_logits), NOT the full [H, V]
+        # head — count exactly what the device executes.
+        total_flops += 2 * batch * h * 2
     v5e_peak = 197e12  # bf16 FLOP/s per chip
     mfu = total_flops / elapsed / v5e_peak
     print(
@@ -283,6 +286,65 @@ def bench_forward_anatomy() -> None:
     )
 
 
+def _synthetic_name(i: int, words: list) -> str:
+    return f"Pkg{i % 7}.ns{i % 53}.{words[i % 3000]}{i}"
+
+
+def _make_synthetic_store(db_path: str, n: int, *, informal_words: int = 0,
+                          embeddings=None):
+    """Shared synthetic corpus for the fusion/pipeline benches.
+
+    Dependencies reference the ACTUAL names of declarations i+1..i+3 (the
+    earlier per-mode copies suffixed deps with i-j, so no dependency ever
+    resolved and the benchmarked dependency-boost stage ran on an empty
+    graph). Returns (store, words, names).
+    """
+    from lean_explore_tpu.models import Declaration, DeclarationStore
+
+    words = [f"w{i}" for i in range(3000)]
+    store = DeclarationStore(db_path, create=True)
+    rows, names = [], []
+    for i in range(n):
+        name = _synthetic_name(i, words)
+        names.append(name)
+        deps = (
+            json.dumps(
+                [_synthetic_name(i + j, words) for j in range(1, i % 4 + 1)]
+            )
+            if i % 3
+            else None
+        )
+        rows.append(
+            Declaration(
+                name=name,
+                module=f"Pkg{i % 7}.Mod{i % 101}",
+                source_text=f"def {name} := x{i}",
+                source_link=f"https://example/{i}",
+                dependencies=deps,
+                # informal_words pads informalizations toward production
+                # length (Mathlib informalizations run 50-100 tokens; the
+                # short default is the round-1/2 geometry).
+                informalization=(
+                    f"**Thing {i}.** does {words[i % 3000]} "
+                    f"{words[(i * 7) % 3000]} stuff {i % 200}"
+                    + "".join(
+                        f" {words[(i * 11 + j) % 3000]}"
+                        for j in range(informal_words)
+                    )
+                ),
+                informalization_embedding=(
+                    embeddings[i].tolist() if embeddings is not None else None
+                ),
+            )
+        )
+        if len(rows) == 10_000:
+            store.insert_many(rows)
+            rows = []
+    if rows:
+        store.insert_many(rows)
+    return store, words, names
+
+
 def bench_fusion_pipeline() -> None:
     """BENCH_MODE=fusion: the full hybrid serving pipeline minus model
     forwards (BM25 spaced+raw retrieve -> dense candidate pool -> RRF ->
@@ -305,34 +367,11 @@ def bench_fusion_pipeline() -> None:
 
     rng = np.random.default_rng(0)
     log(f"building synthetic artifact set: {n} declarations ...")
-    words = [f"w{i}" for i in range(3000)]
     tmp = tempfile.mkdtemp(prefix="bench_fusion_")
-    store = DeclarationStore(f"{tmp}/declarations.db", create=True)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
-    batch_rows = []
-    for i in range(n):
-        name = f"Pkg{i % 7}.ns{i % 53}.{words[i % 3000]}{i}"
-        deps = (
-            json.dumps([f"Pkg{(i + j) % 7}.ns{(i + j) % 53}.{words[(i + j) % 3000]}{i - j}"
-                        for j in range(1, i % 4 + 1)])
-            if i % 3 else None
-        )
-        batch_rows.append(
-            Declaration(
-                name=name,
-                module=f"Pkg{i % 7}.Mod{i % 101}",
-                source_text=f"def {name} := x{i}",
-                source_link=f"https://example/{i}",
-                dependencies=deps,
-                informalization=f"**Thing {i}.** does {words[i % 3000]} stuff",
-                informalization_embedding=vecs[i].tolist(),
-            )
-        )
-        if len(batch_rows) == 5000:
-            store.insert_many(batch_rows)
-            batch_rows = []
-    if batch_rows:
-        store.insert_many(batch_rows)
+    store, words, _ = _make_synthetic_store(
+        f"{tmp}/declarations.db", n, embeddings=vecs
+    )
     build_index_artifacts(store, tmp)
     log("artifacts built")
 
@@ -465,81 +504,40 @@ def bench_full_pipeline() -> None:
     )
     jax.block_until_ready((embed_params, rerank_params))
 
-    embedder = object.__new__(EmbeddingClient)
-    embedder.model_name = "bench-qwen3-0.6b-embed"
-    embedder.model_dir = tmp
-    embedder.max_length = 512
-    embedder.batch_size = batch
-    embedder.append_eos = True
-    embedder.tokenizer = tokenizer
-    embedder.params, embedder.config = embed_params, config
-    embedder.query_prompt = "instruct : given a web search query retrieve : "
-    embedder.mesh = None
-    embedder._data_sharding = None
+    embedder = EmbeddingClient.from_components(
+        embed_params,
+        config,
+        tokenizer,
+        model_name="bench-qwen3-0.6b-embed",
+        model_dir=tmp,
+        max_length=512,
+        batch_size=batch,
+        query_prompt="instruct : given a web search query retrieve : ",
+    )
 
-    reranker = object.__new__(RerankerClient)
-    reranker.model_name = "bench-qwen3-0.6b-rerank"
-    reranker.model_dir = tmp
-    reranker.max_length = 256
-    reranker.instruction = "find relevant lean 4 math declarations"
-    reranker.batch_size = int(os.environ.get("BENCH_RERANK_BATCH", 128))
-    reranker.tokenizer = tokenizer
-    reranker.int8 = os.environ.get("BENCH_RERANK_INT8", "0") == "1"
-    reranker.params, reranker.config = (
-        qwen3.quantize_params_int8(rerank_params) if reranker.int8
+    rerank_int8 = os.environ.get("BENCH_RERANK_INT8", "0") == "1"
+    reranker = RerankerClient.from_components(
+        qwen3.quantize_params_int8(rerank_params)
+        if rerank_int8
         else rerank_params,
         config,
+        tokenizer,
+        model_name="bench-qwen3-0.6b-rerank",
+        model_dir=tmp,
+        max_length=256,
+        instruction="find relevant lean 4 math declarations",
+        batch_size=int(os.environ.get("BENCH_RERANK_BATCH", 128)),
+        int8=rerank_int8,
     )
-    reranker.token_true_id = tokenizer.convert_tokens_to_ids("true")
-    reranker.token_false_id = tokenizer.convert_tokens_to_ids("false")
-    reranker.mesh = None
-    reranker._sharded_scorers = {}
 
     # Corpus: metadata rows on host sqlite; dense matrix generated on device
     # (bulk tunnel uploads are pathological; values don't affect throughput).
     log(f"building {n}-row metadata store + on-device dense index ...")
-    store = DeclarationStore(f"{tmp}/declarations.db", create=True)
-    words = [f"w{i}" for i in range(3000)]
-    rows = []
-    names = []
-    for i in range(n):
-        name = f"Pkg{i % 7}.ns{i % 53}.{words[i % 3000]}{i}"
-        names.append(name)
-        deps = (
-            json.dumps(
-                [f"Pkg{(i + j) % 7}.ns{(i + j) % 53}.{words[(i + j) % 3000]}{i - j}"
-                 for j in range(1, i % 4 + 1)]
-            )
-            if i % 3
-            else None
-        )
-        rows.append(
-            Declaration(
-                name=name,
-                module=f"Pkg{i % 7}.Mod{i % 101}",
-                source_text=f"def {name} := x{i}",
-                source_link=f"https://example/{i}",
-                dependencies=deps,
-                # BENCH_INFORMAL_WORDS pads informalizations toward
-                # production length (Mathlib informalizations run 50-100
-                # tokens; the default short text is the round-1/2 geometry).
-                informalization=(
-                    f"**Thing {i}.** does {words[i % 3000]} "
-                    f"{words[(i * 7) % 3000]} stuff {i % 200}"
-                    + "".join(
-                        f" {words[(i * 11 + j) % 3000]}"
-                        for j in range(
-                            int(os.environ.get("BENCH_INFORMAL_WORDS", 0))
-                        )
-                    )
-                ),
-            )
-        )
-        if len(rows) == 10_000:
-            store.insert_many(rows)
-            rows = []
-    if rows:
-        store.insert_many(rows)
+    store, words, names = _make_synthetic_store(
+        f"{tmp}/declarations.db",
+        n,
+        informal_words=int(os.environ.get("BENCH_INFORMAL_WORDS", 0)),
+    )
 
     corpus = jax.jit(
         lambda key: l2_normalize(
@@ -582,6 +580,7 @@ def bench_full_pipeline() -> None:
 
     asyncio.run(run_batch(queries_for(999), StageTimings()))  # warm/compile
     log("warm done; timing ...")
+    reps = max(reps, 1)  # BENCH_DISPATCHES=0 would divide by zero below
     stage_totals: dict[str, float] = {}
     t0 = time.perf_counter()
     for rep in range(reps):
@@ -591,13 +590,22 @@ def bench_full_pipeline() -> None:
             stage_totals[stage] = stage_totals.get(stage, 0.0) + ms
     elapsed = (time.perf_counter() - t0) / reps
     qps = batch / elapsed
-    assert all(results), "pipeline returned empty results"
+    if not all(results):  # not assert: must survive python -O
+        raise RuntimeError("pipeline returned empty results")
     stage_ms = {k: round(v / reps, 1) for k, v in stage_totals.items()}
     log(f"stage ms/batch: {stage_ms}")
 
     cpu_qps = None
     if run_torch:
-        cpu_qps = _torch_pipeline_baseline(tokenizer, batch, rerank_top)
+        # Match the baseline's sequence length to the benchmarked document
+        # regime: ~32 tokens for the short default, longer when
+        # BENCH_INFORMAL_WORDS pads toward production lengths (a T=32
+        # baseline against ~100-token TPU documents would skew vs_baseline).
+        informal_words = int(os.environ.get("BENCH_INFORMAL_WORDS", 0))
+        baseline_seq = min(256, 32 + int(informal_words * 1.3))
+        cpu_qps = _torch_pipeline_baseline(
+            tokenizer, batch, rerank_top, seq=baseline_seq
+        )
 
     print(
         json.dumps(
@@ -610,7 +618,8 @@ def bench_full_pipeline() -> None:
                     round(qps / cpu_qps, 2) if cpu_qps else None
                 ),
                 "baseline": "torch-cpu 0.6B encode+rerank estimate (installed "
-                "transformers stack, same texts)",
+                "transformers stack, sequence length matched to the "
+                "benchmarked document regime)",
                 "batch_latency_ms": round(elapsed * 1000, 1),
                 "stage_ms": stage_ms,
                 "cpu_estimate_qps": round(cpu_qps, 3) if cpu_qps else None,
@@ -620,10 +629,13 @@ def bench_full_pipeline() -> None:
     )
 
 
-def _torch_pipeline_baseline(tokenizer, batch: int, rerank_top: int):
+def _torch_pipeline_baseline(
+    tokenizer, batch: int, rerank_top: int, seq: int = 32
+):
     """Per-query torch-CPU cost of the model work the reference does:
     1 query encode + rerank_top cross-encoder pairs, at 0.6B, measured with
-    the installed torch/transformers (the reference's runtime)."""
+    the installed torch/transformers (the reference's runtime) at ``seq``
+    tokens per sequence (matched to the benchmarked document regime)."""
     try:
         import torch
         import transformers
@@ -642,12 +654,12 @@ def _torch_pipeline_baseline(tokenizer, batch: int, rerank_top: int):
     )
     with torch.no_grad():
         model = transformers.Qwen3ForCausalLM(cfg).eval()
-        ids = torch.randint(5, 3000, (8, 32))
+        ids = torch.randint(5, 3000, (8, seq))
         t0 = time.perf_counter()
         model(input_ids=ids)
-        per_pair = (time.perf_counter() - t0) / 8  # seconds per T=32 sequence
+        per_pair = (time.perf_counter() - t0) / 8  # seconds per sequence
     # Reference per query: 1 encode forward + rerank_top rerank forwards
-    # (same short-text lengths as the TPU side above).
+    # at the same sequence-length regime as the TPU side above.
     per_query = per_pair * (rerank_top + 1)
     log(
         f"torch-CPU: {per_pair * 1000:.0f} ms/sequence -> "

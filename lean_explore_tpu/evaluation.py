@@ -23,25 +23,35 @@ def evaluate_engine(
     rerank_top: int = 0,
 ) -> dict:
     """recall@1/@k and MRR@k of engine.search_batch on (query, target) pairs."""
+    if not labeled:
+        raise ValueError(
+            "evaluate_engine needs at least one (query, target) pair — "
+            "the eval split is empty"
+        )
     hits1 = hitsk = 0
     reciprocal_ranks = []
-    for start in range(0, len(labeled), batch):
-        chunk = labeled[start : start + batch]
-        results = asyncio.run(
-            engine.search_batch(
+
+    async def _run() -> None:
+        nonlocal hits1, hitsk
+        # One event loop for the whole eval (asyncio.run per chunk paid a
+        # loop create/teardown ~every 64 queries).
+        for start in range(0, len(labeled), batch):
+            chunk = labeled[start : start + batch]
+            results = await engine.search_batch(
                 [q for q, _ in chunk], limit=k, rerank_top=rerank_top,
                 dense_k=dense_k, bm25_k=bm25_k,
             )
-        )
-        for (_, target), ranked in zip(chunk, results):
-            names = [r.name for r in ranked]
-            if names and names[0] == target:
-                hits1 += 1
-            if target in names:
-                hitsk += 1
-                reciprocal_ranks.append(1.0 / (names.index(target) + 1))
-            else:
-                reciprocal_ranks.append(0.0)
+            for (_, target), ranked in zip(chunk, results):
+                names = [r.name for r in ranked]
+                if names and names[0] == target:
+                    hits1 += 1
+                if target in names:
+                    hitsk += 1
+                    reciprocal_ranks.append(1.0 / (names.index(target) + 1))
+                else:
+                    reciprocal_ranks.append(0.0)
+
+    asyncio.run(_run())
     n = len(labeled)
     return {
         "recall_at_1": round(hits1 / n, 4),

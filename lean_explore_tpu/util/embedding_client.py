@@ -123,6 +123,41 @@ class EmbeddingClient:
                 "embedding DP over %d devices (batch %d)", n_data, self.batch_size
             )
 
+    @classmethod
+    def from_components(
+        cls,
+        params,
+        config,
+        tokenizer,
+        *,
+        model_name: str = "in-memory",
+        model_dir=None,
+        max_length: int = 512,
+        batch_size: int = 64,
+        append_eos: bool = True,
+        query_prompt: str = "",
+    ) -> "EmbeddingClient":
+        """Build a client around already-loaded params/config/tokenizer.
+
+        The ONE sanctioned way to construct without a checkpoint directory
+        (benchmarks with random weights, tests): it sets every instance
+        attribute the scoring paths touch, so adding an attribute to
+        __init__ must be mirrored HERE — not in ad-hoc object.__new__
+        call sites that silently miss it. Single-device only.
+        """
+        self = object.__new__(cls)
+        self.model_name = model_name
+        self.model_dir = model_dir
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.append_eos = append_eos
+        self.tokenizer = tokenizer
+        self.params, self.config = params, config
+        self.query_prompt = query_prompt
+        self.mesh = None
+        self._data_sharding = None
+        return self
+
     def _device_batch(self, ids: np.ndarray, mask: np.ndarray):
         """Place one padded token batch, sharding rows over the mesh if set."""
         if self._data_sharding is None:

@@ -124,6 +124,51 @@ class RerankerClient:
                 "for reranker scoring."
             )
 
+    @classmethod
+    def from_components(
+        cls,
+        params,
+        config,
+        tokenizer,
+        *,
+        model_name: str = "in-memory",
+        model_dir=None,
+        max_length: int = 512,
+        instruction: str = DEFAULT_INSTRUCTION,
+        batch_size: int = 64,
+        int8: bool = False,
+    ) -> "RerankerClient":
+        """Build a client around already-loaded params/config/tokenizer.
+
+        The ONE sanctioned way to construct without a checkpoint directory
+        (benchmarks with random weights, tests): it sets every instance
+        attribute the scoring paths touch — including the tokenizer lock —
+        so adding an attribute to __init__ must be mirrored HERE, not in
+        ad-hoc object.__new__ call sites that silently miss it (that broke
+        BENCH_MODE=pipeline once). ``params`` are taken as-is; pass
+        int8=True iff they are already quantized. Single-device only.
+        """
+        self = object.__new__(cls)
+        self.model_name = model_name
+        self.model_dir = model_dir
+        self.max_length = max_length
+        self.instruction = instruction
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self._tokenizer_lock = threading.Lock()
+        self.int8 = int8
+        self.params, self.config = params, config
+        self.mesh = None
+        self._sharded_scorers = {}
+        self.token_true_id = tokenizer.convert_tokens_to_ids("true")
+        self.token_false_id = tokenizer.convert_tokens_to_ids("false")
+        if self.token_true_id is None or self.token_false_id is None:
+            raise ValueError(
+                "Tokenizer lacks 'true'/'false' tokens required for "
+                "reranker scoring."
+            )
+        return self
+
     def _format_pair(self, query: str, document: str) -> str:
         """Reference pair template (reranker_client.py:96-108)."""
         return (
