@@ -224,16 +224,24 @@ def dense_topk(
     window: int = 16,
     recall_target: float = 0.95,
 ):
-    """Exact top-k inner-product search.
+    """Top-k inner-product search (exact or approximate per ``method``).
 
     Args:
         queries: [B, D] query embeddings (any float dtype; accumulated f32).
+            The fused/approx methods assume rows are L2-normalized (inner
+            products in [-1, 1] — DenseIndex normalizes); raw scores below
+            -3 degrade to bottom-ranked ties in the fused packing.
         corpus: [N, D] corpus embeddings, N padded or not (padding applied
             here when needed).
-        k: Number of neighbors (clamped to n_valid).
+        k: Number of neighbors. Must be <= n_valid: checked when n_valid
+            is static; under a traced n_valid the CALLER must clamp
+            (index/dense.py does) or -inf pad entries appear in the tail.
         n_valid: Number of real corpus rows; defaults to corpus.shape[0].
-        method: "approx", "chunked", "windowed", "full", or "auto" (approx at
-            scale, full for small corpora — where full IS exact and cheap).
+        method: "approx", "chunked", "windowed", "full", "fused"/
+            "fused_pallas" (the TPU serving default via "auto": fused
+            matmul+bin-max selection, ops/pallas_retrieval.py), or "auto"
+            (fused at scale on TPU, approx off-TPU, full for small corpora
+            — where full IS exact and cheap).
         chunk: Chunk rows for the scan method.
         window: Window width for the windowed method.
         recall_target: Expected per-element recall of the approx method's

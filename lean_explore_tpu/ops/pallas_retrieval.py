@@ -24,7 +24,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float("-inf")
+from lean_explore_tpu.ops.dense import NEG_INF
 
 
 def _fused_kernel(window: int, tile_rows: int):
@@ -77,9 +77,18 @@ def fused_scores_wmax(
         interpret: run in Pallas interpreter mode (CPU tests).
 
     Returns:
-        (scores_t [N, B] f32, wmax_t [N/window, B] f32), both transposed.
+        (scores_t [N, B_pad] f32, wmax_t [N/window, B_pad] f32), both
+        transposed; B_pad rounds B up to a multiple of 8 (the same Mosaic
+        matvec-lowering bug the bin-topk wrappers dodge — bf16 dot_general
+        at B=1 fails verification on hardware). Pad columns carry
+        meaningless (zero-query) scores; pallas_windowed_topk slices them
+        away, and direct callers must too.
     """
     n, dim = corpus.shape
+    if queries.shape[0] % 8:
+        queries = jnp.pad(
+            queries, ((0, -queries.shape[0] % 8), (0, 0))
+        )
     batch = queries.shape[0]
     if n % tile_rows != 0:
         raise ValueError(f"corpus rows {n} not a multiple of tile_rows {tile_rows}")
@@ -136,6 +145,70 @@ def fused_scores_wmax(
 # so float ordering equals integer-bit ordering, and (b) the low mantissa
 # bits are a uniform absolute quantum (2^-22 * 2 per ulp).
 _PACK_SHIFT = 3.0
+# Guard against UNNORMALIZED inputs: a raw inner product <= -3 would shift
+# negative, where float bit order inverts under max and the zero-initialized
+# carry would silently beat every real candidate. Clamping to a tiny positive
+# floor makes such scores tie at the bottom (correct-enough degradation) and
+# keeps them strictly above pad rows' packed 0.0.
+_PACK_FLOOR = 1e-30
+
+
+def _dot_precision(dtype) -> lax.Precision:
+    """HIGHEST for f32 corpora (FAISS-flat score parity — the TPU default
+    would round multiplicands to bf16); MXU-native DEFAULT otherwise."""
+    return (
+        lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
+
+
+def _accumulate_packed(
+    j, scores, n_valid_ref, packed_acc, *, tile_rows, supertile, low_mask
+):
+    """Shared bin-max carry update: mask pad rows, shift+clamp, steal the
+    low mantissa bits for the super-tile id, and fold this tile into the
+    resident [bins, B] carry. ONE definition for the f32/int8/pipelined
+    kernels so packing semantics (incl. the steal-bits ceiling-division fix
+    and the unnormalized-input floor) cannot drift between them."""
+    batch = scores.shape[1]
+    row = j * tile_rows + lax.broadcasted_iota(
+        jnp.int32, (tile_rows, batch), 0
+    )
+    shifted = jnp.where(
+        row < n_valid_ref[0],
+        jnp.maximum(scores + _PACK_SHIFT, _PACK_FLOOR),
+        0.0,
+    )
+    bits = lax.bitcast_convert_type(shifted, jnp.int32)
+    packed = lax.bitcast_convert_type(
+        (bits & ~low_mask) | (j // supertile), jnp.float32
+    )
+    sl = pl.ds(lax.rem(j, supertile) * tile_rows, tile_rows)
+    packed_acc[sl, :] = jnp.maximum(packed_acc[sl, :], packed)
+
+
+def _unpack_topk(
+    packed, *, k, steal_bits, bins, exact_epilogue, recall_target, real_batch
+):
+    """Shared epilogue: select over the [B, bins] packed carry, then strip
+    the stolen provenance bits back out. Packed-float ordering == score
+    ordering (all positive, one binade), so selection runs directly on the
+    packed values and unpacking is elementwise — no provenance gather."""
+    packed_t = packed.T  # [B, bins]
+    if exact_epilogue:
+        top_packed, bin_pos = lax.top_k(packed_t, k)
+    else:
+        top_packed, bin_pos = lax.approx_max_k(
+            packed_t, k, recall_target=recall_target
+        )
+        bin_pos = bin_pos.astype(jnp.int32)
+    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
+    low_mask = (1 << steal_bits) - 1
+    winner_supertile = bits & low_mask
+    top_scores = (
+        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    )
+    rows = winner_supertile * bins + bin_pos
+    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 def _bin_topk_kernel(tile_rows: int, bins: int, steal_bits: int):
@@ -160,35 +233,22 @@ def _bin_topk_kernel(tile_rows: int, bins: int, steal_bits: int):
 
     def kernel(n_valid_ref, q_ref, tile_ref, packed_out, packed_acc):
         j = pl.program_id(0)
-        batch = q_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
             packed_acc[:] = jnp.zeros_like(packed_acc)
 
-        precision = (
-            lax.Precision.HIGHEST
-            if tile_ref.dtype == jnp.float32
-            else lax.Precision.DEFAULT
-        )
         scores = lax.dot_general(
             tile_ref[:],
             q_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=_dot_precision(tile_ref.dtype),
         )
-        row = j * tile_rows + lax.broadcasted_iota(
-            jnp.int32, (tile_rows, batch), 0
+        _accumulate_packed(
+            j, scores, n_valid_ref, packed_acc,
+            tile_rows=tile_rows, supertile=supertile, low_mask=low_mask,
         )
-        shifted = jnp.where(row < n_valid_ref[0], scores + _PACK_SHIFT, 0.0)
-        bits = lax.bitcast_convert_type(shifted, jnp.int32)
-        packed = lax.bitcast_convert_type(
-            (bits & ~low_mask) | (j // supertile), jnp.float32
-        )
-
-        sl = pl.ds((j % supertile) * tile_rows, tile_rows)
-        packed_acc[sl, :] = jnp.maximum(packed_acc[sl, :], packed)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _flush():
@@ -211,7 +271,6 @@ def _bin_topk_kernel_int8(tile_rows: int, bins: int, steal_bits: int):
         packed_out, packed_acc,
     ):
         j = pl.program_id(0)
-        batch = q_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
@@ -228,16 +287,10 @@ def _bin_topk_kernel_int8(tile_rows: int, bins: int, steal_bits: int):
             * scales_ref[:]  # [tile_rows, 1] corpus row scales
             * q_scales_ref[:]  # [1, batch] query scales
         )
-        row = j * tile_rows + lax.broadcasted_iota(
-            jnp.int32, (tile_rows, batch), 0
+        _accumulate_packed(
+            j, scores, n_valid_ref, packed_acc,
+            tile_rows=tile_rows, supertile=supertile, low_mask=low_mask,
         )
-        shifted = jnp.where(row < n_valid_ref[0], scores + _PACK_SHIFT, 0.0)
-        bits = lax.bitcast_convert_type(shifted, jnp.int32)
-        packed = lax.bitcast_convert_type(
-            (bits & ~low_mask) | (j // supertile), jnp.float32
-        )
-        sl = pl.ds((j % supertile) * tile_rows, tile_rows)
-        packed_acc[sl, :] = jnp.maximum(packed_acc[sl, :], packed)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _flush():
@@ -333,22 +386,11 @@ def pallas_bin_topk_int8(
         corpus_scales.astype(jnp.float32).reshape(n, 1),
     )[0]
 
-    packed_t = packed.T
-    if exact_epilogue:
-        top_packed, bin_pos = lax.top_k(packed_t, k)
-    else:
-        top_packed, bin_pos = lax.approx_max_k(
-            packed_t, k, recall_target=recall_target
-        )
-        bin_pos = bin_pos.astype(jnp.int32)
-    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
-    low_mask = (1 << steal_bits) - 1
-    winner_supertile = bits & low_mask
-    top_scores = (
-        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    return _unpack_topk(
+        packed, k=k, steal_bits=steal_bits, bins=bins,
+        exact_epilogue=exact_epilogue, recall_target=recall_target,
+        real_batch=real_batch,
     )
-    rows = winner_supertile * bins + bin_pos
-    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 @functools.partial(
@@ -450,25 +492,11 @@ def pallas_bin_topk(
         corpus,
     )[0]
 
-    # Packed-float ordering == score ordering (all positive, one binade), so
-    # selection runs directly on the packed carry; unpacking is elementwise —
-    # no provenance gather.
-    packed_t = packed.T  # [B, bins]
-    if exact_epilogue:
-        top_packed, bin_pos = lax.top_k(packed_t, k)
-    else:
-        top_packed, bin_pos = lax.approx_max_k(
-            packed_t, k, recall_target=recall_target
-        )
-        bin_pos = bin_pos.astype(jnp.int32)
-    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
-    low_mask = (1 << steal_bits) - 1
-    winner_supertile = bits & low_mask
-    top_scores = (
-        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    return _unpack_topk(
+        packed, k=k, steal_bits=steal_bits, bins=bins,
+        exact_epilogue=exact_epilogue, recall_target=recall_target,
+        real_batch=real_batch,
     )
-    rows = winner_supertile * bins + bin_pos
-    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 def _bin_topk_pipelined_kernel(
@@ -492,7 +520,6 @@ def _bin_topk_pipelined_kernel(
     def kernel(
         n_valid_ref, q_ref, corpus_hbm, packed_out, tiles_vmem, carry, sems
     ):
-        batch = q_ref.shape[0]
         carry[:] = jnp.zeros_like(carry)
 
         def tile_dma(slot, idx):
@@ -520,17 +547,12 @@ def _bin_topk_pipelined_kernel(
                 q_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(tiles_vmem.dtype),
             )
-            row = j * tile_rows + lax.broadcasted_iota(
-                jnp.int32, (tile_rows, batch), 0
+            _accumulate_packed(
+                j, scores, n_valid_ref, carry,
+                tile_rows=tile_rows, supertile=supertile, low_mask=low_mask,
             )
-            shifted = jnp.where(row < n_valid_ref[0], scores + _PACK_SHIFT, 0.0)
-            bits = lax.bitcast_convert_type(shifted, jnp.int32)
-            packed = lax.bitcast_convert_type(
-                (bits & ~low_mask) | (j // supertile), jnp.float32
-            )
-            sl = pl.ds(lax.rem(j, supertile) * tile_rows, tile_rows)
-            carry[sl, :] = jnp.maximum(carry[sl, :], packed)
             return 0
 
         lax.fori_loop(0, num_tiles, body, 0)
@@ -618,22 +640,11 @@ def pallas_bin_topk_pipelined(
         corpus,
     )[0]
 
-    packed_t = packed.T
-    if exact_epilogue:
-        top_packed, bin_pos = lax.top_k(packed_t, k)
-    else:
-        top_packed, bin_pos = lax.approx_max_k(
-            packed_t, k, recall_target=recall_target
-        )
-        bin_pos = bin_pos.astype(jnp.int32)
-    bits = lax.bitcast_convert_type(top_packed, jnp.int32)
-    low_mask = (1 << steal_bits) - 1
-    winner_supertile = bits & low_mask
-    top_scores = (
-        lax.bitcast_convert_type(bits & ~low_mask, jnp.float32) - _PACK_SHIFT
+    return _unpack_topk(
+        packed, k=k, steal_bits=steal_bits, bins=bins,
+        exact_epilogue=exact_epilogue, recall_target=recall_target,
+        real_batch=real_batch,
     )
-    rows = winner_supertile * bins + bin_pos
-    return top_scores[:real_batch], rows[:real_batch].astype(jnp.int32)
 
 
 @functools.partial(
@@ -654,7 +665,7 @@ def pallas_windowed_topk(
     Same contract as ops.dense.dense_topk: (scores [B, k] f32, idx [B, k] i32),
     descending, indices < n_valid for k <= n_valid.
     """
-    batch = queries.shape[0]
+    real_batch = queries.shape[0]
     scores_t, wmax_t = fused_scores_wmax(
         queries,
         corpus,
@@ -663,12 +674,13 @@ def pallas_windowed_topk(
         tile_rows=tile_rows,
         interpret=interpret,
     )
-    _, win_idx = lax.top_k(wmax_t.T, k)  # [B, k]
+    batch = scores_t.shape[1]  # fused pads B to a multiple of 8
+    _, win_idx = lax.top_k(wmax_t.T, k)  # [B_pad, k]
     member = (
         win_idx[:, :, None] * window
         + lax.broadcasted_iota(jnp.int32, (1, 1, window), 2)
     ).reshape(batch, k * window)
-    gathered = jnp.take_along_axis(scores_t, member.T, axis=0).T  # [B, k*window]
+    gathered = jnp.take_along_axis(scores_t, member.T, axis=0).T
     out_scores, pos = lax.top_k(gathered, k)
     out_idx = jnp.take_along_axis(member, pos, axis=1)
-    return out_scores, out_idx
+    return out_scores[:real_batch], out_idx[:real_batch]

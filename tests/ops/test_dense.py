@@ -195,6 +195,31 @@ class TestPallasBinTopK:
         # Scores carry the provenance-packing quantization (~1e-4 max here).
         assert_topk_matches(scores, idx, ref_scores, ref_idx, atol=5e-4)
 
+    def test_unnormalized_scores_below_minus3_degrade_safely(self):
+        """Raw inner products <= -3 (unnormalized inputs violate the
+        packing precondition) must NOT invert the bit ordering: they clamp
+        to bottom-ranked ties with REAL row indices, and candidates above
+        -3 still rank exactly."""
+        n, dim, k = 512, 32, 8
+        corpus = np.zeros((n, dim), dtype=np.float32)
+        q = np.zeros((4, dim), dtype=np.float32)
+        q[:, 0] = 1.0
+        corpus[:, 0] = -5.0  # score -5 for every row: below the -3 floor
+        winners = [7, 130, 300]
+        for rank, row in enumerate(winners):
+            corpus[row, 0] = 0.9 - 0.1 * rank  # 0.9, 0.8, 0.7
+        scores, idx = self._run(
+            corpus, q, n, k, bins=256, tile_rows=128, exact_epilogue=True,
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        # The three positive rows rank first with true scores ...
+        assert idx[0, :3].tolist() == winners
+        np.testing.assert_allclose(scores[0, :3], [0.9, 0.8, 0.7], atol=5e-4)
+        # ... and the sub--3 tail ties at the floor with VALID indices
+        # (previously the zero carry beat them and fabricated indices).
+        assert np.all(scores[0, 3:] <= -2.99)
+        assert np.all((idx >= 0) & (idx < n))
+
     def test_provenance_invariant(self):
         """Every returned (row, score) pair must be genuine — the score IS
         the inner product of that corpus row (up to the documented packing
