@@ -18,13 +18,16 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_IN_TREE_SO = _NATIVE_DIR / "liblexcore.so"
+# The documented override comes FIRST so it actually overrides the in-tree
+# build (it previously sat after it and could never win in a checkout).
 _LIB_CANDIDATES = [
-    _NATIVE_DIR / "liblexcore.so",
     *(
         [Path(os.environ["LEAN_EXPLORE_LEXCORE"])]
         if os.environ.get("LEAN_EXPLORE_LEXCORE")
         else []
     ),
+    _IN_TREE_SO,
 ]
 
 _lib = None
@@ -68,17 +71,29 @@ def load_lexcore() -> ctypes.CDLL | None:
     _load_attempted = True
     if os.environ.get("LEAN_EXPLORE_NO_NATIVE"):
         return None
-    if not _LIB_CANDIDATES[0].exists():
+    source = _NATIVE_DIR / "lexcore.cpp"
+    stale = (
+        _IN_TREE_SO.exists()
+        and source.exists()
+        and _IN_TREE_SO.stat().st_mtime < source.stat().st_mtime
+    )
+    if not _IN_TREE_SO.exists() or stale:
+        # Rebuild on missing OR stale: a .so older than lexcore.cpp would
+        # silently keep serving pre-fix native behavior (e.g. the round-3
+        # fuzzy autojunk-parity fix) while the tests exercise the source.
         _try_build()
     for candidate in _LIB_CANDIDATES:
         if not candidate.exists():
             continue
         try:
             lib = ctypes.CDLL(str(candidate))
-        except OSError as error:
+            _configure(lib)
+        except (OSError, AttributeError) as error:
+            # AttributeError: the library dlopens but lacks a required
+            # symbol (stale/foreign build) — fall through to the next
+            # candidate / numpy instead of crashing the first search.
             logger.warning("failed to load lexcore at %s: %s", candidate, error)
             continue
-        _configure(lib)
         _lib = lib
         logger.info("lexcore loaded from %s", candidate)
         break
@@ -180,8 +195,15 @@ def bm25_score_native(
 
 
 def tokenize_spaced_native(text: str) -> list[str] | None:
-    """Native spaced tokenizer (ASCII fast path); None when unavailable or
-    the text is non-ASCII (the Python regex path handles unicode)."""
+    """Native spaced tokenizer; None when unavailable or the text is
+    non-ASCII (the Python regex path handles unicode).
+
+    NOT wired into production: measured 1.7x slower than the Python regex
+    on typical short declaration names (ctypes per-call overhead dominates
+    at these string lengths — 1.54s vs 0.92s over 100k names). Kept as a
+    parity-tested twin of the C tokenizer the CSR scorer shares string
+    handling with; a batched variant would be the way in if name
+    tokenization ever becomes a measured bottleneck."""
     lib = load_lexcore()
     if lib is None or not text.isascii():
         return None
@@ -244,11 +266,18 @@ def dep_boost_native(
     top_n: int = 500,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Native dependency boost over a global id-indexed dependency CSR;
-    None when unavailable."""
+    None when unavailable.
+
+    Mirrors SearchEngine._dependency_boost's contract exactly: only the
+    first ``top_n`` candidates participate (votes counted among them,
+    results returned for them) — the slice happens HERE so a caller
+    passing the full RRF list cannot silently diverge from the Python
+    fallback, which slices to top_n itself.
+    """
     lib = load_lexcore()
     if lib is None or not hasattr(lib, "le_dep_boost"):
         return None
-    top_ids = np.ascontiguousarray(top_ids, dtype=np.int64)
+    top_ids = np.ascontiguousarray(top_ids, dtype=np.int64)[:top_n]
     dep_indptr = np.ascontiguousarray(dep_indptr, dtype=np.int64)
     dep_targets = np.ascontiguousarray(dep_targets, dtype=np.int64)
     n = len(top_ids)
