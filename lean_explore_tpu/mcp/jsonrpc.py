@@ -67,17 +67,28 @@ class McpServer:
     # Message handling
     # ------------------------------------------------------------------
 
-    async def handle_message(self, message: dict) -> dict | None:
-        """Process one JSON-RPC message; None for notifications."""
+    async def handle_message(self, message) -> dict | None:
+        """Process one JSON-RPC message; None for notifications.
+
+        Malformed-but-valid-JSON shapes (arrays — batching is not
+        supported — or a non-string method) answer INVALID_REQUEST rather
+        than raising: one bad client message must never kill the server
+        loop."""
+        if not isinstance(message, dict):
+            return _error(None, INVALID_REQUEST, "expected a request object")
         msg_id = message.get("id")
         method = message.get("method")
 
-        if method is None:
+        if not isinstance(method, str):
             if msg_id is None:
                 return None
-            return _error(msg_id, INVALID_REQUEST, "missing method")
+            return _error(msg_id, INVALID_REQUEST, "missing or invalid method")
 
         if method.startswith("notifications/"):
+            return None
+        if msg_id is None:
+            # JSON-RPC 2.0: a request without an id is a notification and
+            # MUST NOT be answered (an id:null reply would be misrouted).
             return None
 
         try:
@@ -112,9 +123,15 @@ class McpServer:
             return _error(msg_id, INVALID_PARAMS, f"unknown tool {tool_name!r}")
         arguments = params.get("arguments") or {}
         try:
-            output = await tool.handler(**arguments)
-        except TypeError as exc:
-            return _error(msg_id, INVALID_PARAMS, str(exc))
+            # Bind arguments FIRST so the TypeError guard covers only
+            # signature mismatches (invalid params); a TypeError raised
+            # inside the running tool/backend is a real bug and must reach
+            # the generic branch below, where it is logged.
+            try:
+                pending = tool.handler(**arguments)
+            except TypeError as exc:
+                return _error(msg_id, INVALID_PARAMS, str(exc))
+            output = await pending
         except Exception as exc:  # noqa: BLE001 — tool errors go in-band
             logger.exception("tool %s failed", tool_name)
             return _result(
@@ -124,38 +141,53 @@ class McpServer:
                     "isError": True,
                 },
             )
-        return _result(
-            msg_id,
-            {
-                "content": [
-                    {"type": "text", "text": json.dumps(output, ensure_ascii=False)}
-                ],
-                "structuredContent": output if isinstance(output, dict) else None,
-                "isError": False,
-            },
-        )
+        result: dict = {
+            "content": [
+                {"type": "text", "text": json.dumps(output, ensure_ascii=False)}
+            ],
+            "isError": False,
+        }
+        if isinstance(output, dict):
+            # Optional per the MCP schema: omit rather than emit null
+            # (the official SDKs validate z.object().optional(), which
+            # rejects an explicit null).
+            result["structuredContent"] = output
+        return _result(msg_id, result)
 
     # ------------------------------------------------------------------
     # stdio transport
     # ------------------------------------------------------------------
 
     def run_stdio(self, stdin=None, stdout=None) -> None:
-        """Blocking request loop: one JSON object per line."""
+        """Blocking request loop: one JSON object per line.
+
+        One long-lived event loop serves every message (asyncio.run per
+        request paid a loop + default-executor teardown on the hot path
+        and prevented backends from caching loop-bound state); stdin is
+        read via to_thread so the loop stays responsive.
+        """
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
         logger.info("MCP server %s listening on stdio", self.name)
-        for line in stdin:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                message = json.loads(line)
-            except json.JSONDecodeError as exc:
-                _write(stdout, _error(None, PARSE_ERROR, f"parse error: {exc}"))
-                continue
-            response = asyncio.run(self.handle_message(message))
-            if response is not None:
-                _write(stdout, response)
+
+        async def _serve() -> None:
+            while True:
+                line = await asyncio.to_thread(stdin.readline)
+                if not line:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    message = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    _write(stdout, _error(None, PARSE_ERROR, f"parse error: {exc}"))
+                    continue
+                response = await self.handle_message(message)
+                if response is not None:
+                    _write(stdout, response)
+
+        asyncio.run(_serve())
         logger.info("MCP stdin closed; shutting down")
 
 

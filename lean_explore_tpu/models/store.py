@@ -33,7 +33,6 @@ CREATE TABLE IF NOT EXISTS declarations (
     informalization TEXT,
     informalization_embedding BLOB
 );
-CREATE INDEX IF NOT EXISTS idx_declarations_name ON declarations (name);
 CREATE INDEX IF NOT EXISTS idx_declarations_module ON declarations (module);
 """
 
@@ -165,12 +164,17 @@ class DeclarationStore:
         conflict = "OR IGNORE" if ignore_conflicts else ""
         sql = (
             f"INSERT {conflict} INTO declarations "
-            "(name, module, docstring, source_text, source_link, dependencies, "
-            "informalization, informalization_embedding) "
-            "VALUES (?, ?, ?, ?, ?, ?, ?, ?)"
+            "(id, name, module, docstring, source_text, source_link, "
+            "dependencies, informalization, informalization_embedding) "
+            "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)"
         )
         rows = [
             (
+                # Preserve an explicitly set id (NULL autoassigns): a
+                # dump-and-rebuild that silently renumbered rows would
+                # desync every artifact keyed on the old ids (dense index,
+                # BM25 maps) — silently wrong results, not an error.
+                None if d.id is None else int(d.id),
                 d.name,
                 d.module,
                 d.docstring,
@@ -224,7 +228,10 @@ class DeclarationStore:
         columns = "*" if with_embedding else _METADATA_COLUMNS
         with self._lock:
             row = self._conn.execute(
-                f"SELECT {columns} FROM declarations WHERE id = ?", (decl_id,)
+                # int(): numpy integer ids bind as BLOBs and silently match
+                # zero rows — retrieval ids originate as numpy arrays.
+                f"SELECT {columns} FROM declarations WHERE id = ?",
+                (int(decl_id),),
             ).fetchone()
         return _row_to_declaration(row) if row else None
 
@@ -239,7 +246,8 @@ class DeclarationStore:
         hydration cost otherwise.
         """
         out: dict[int, Declaration] = {}
-        ids = list(ids)
+        # int(): numpy integer ids bind as BLOBs and silently match nothing.
+        ids = [int(i) for i in ids]
         columns = "*" if with_embeddings else _METADATA_COLUMNS
         with self._lock:
             for start in range(0, len(ids), 512):

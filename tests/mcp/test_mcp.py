@@ -114,6 +114,70 @@ class TestProtocol:
         resp = run(server.handle_message({"jsonrpc": "2.0", "id": 6, "method": "bogus"}))
         assert resp["error"]["code"] == -32601
 
+    def test_malformed_shapes_never_raise(self, server):
+        """One bad client message must not kill the server loop: arrays
+        (batching unsupported), non-string methods, and non-object
+        messages answer INVALID_REQUEST or stay silent — never raise."""
+        batch = run(server.handle_message([{"id": 1, "method": "ping"}]))
+        assert batch["error"]["code"] == -32600
+        bad_method = run(server.handle_message({"id": 1, "method": 123}))
+        assert bad_method["error"]["code"] == -32600
+        # Non-string method without an id: silent (notification-like).
+        assert run(server.handle_message({"method": 123})) is None
+
+    def test_request_without_id_is_notification(self, server):
+        """JSON-RPC 2.0: no id -> no response (an id:null reply would be
+        misrouted by conforming clients)."""
+        assert run(server.handle_message({"jsonrpc": "2.0", "method": "ping"})) is None
+
+    def test_non_dict_output_omits_structured_content(self, server):
+        @server.tool(
+            name="none_tool", description="returns null",
+            input_schema={"type": "object"},
+        )
+        async def none_tool():
+            return None
+
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 9,
+                    "method": "tools/call",
+                    "params": {"name": "none_tool", "arguments": {}},
+                }
+            )
+        )
+        result = _result_of(resp)
+        # Optional per the MCP schema: omitted, never an explicit null.
+        assert "structuredContent" not in result
+        assert result["content"][0]["text"] == "null"
+
+    def test_internal_typeerror_is_not_invalid_params(self, server):
+        """A TypeError raised INSIDE a running tool is a bug, not a
+        params mismatch — it must take the in-band error path (logged),
+        not masquerade as -32602."""
+
+        @server.tool(
+            name="buggy", description="raises TypeError internally",
+            input_schema={"type": "object"},
+        )
+        async def buggy():
+            return len(None)  # TypeError from inside the tool body
+
+        resp = run(
+            server.handle_message(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 10,
+                    "method": "tools/call",
+                    "params": {"name": "buggy", "arguments": {}},
+                }
+            )
+        )
+        result = _result_of(resp)
+        assert result["isError"] is True
+
     def test_bad_arguments(self, server):
         resp = run(
             server.handle_message(

@@ -53,6 +53,39 @@ class TestStore:
         assert populated_store.get_by_id(99999) is None
         assert populated_store.get_by_name("Does.Not.Exist") is None
 
+    def test_numpy_ids_match_rows(self, memory_store):
+        """numpy integer ids bind as BLOBs under sqlite3 and silently match
+        nothing; the store coerces so retrieval's numpy arrays just work."""
+        import numpy as np
+
+        memory_store.insert_many([make_declaration("Nat.add")])
+        decl_id = memory_store.get_by_name("Nat.add").id
+        assert memory_store.get_by_id(np.int64(decl_id)) is not None
+        hydrated = memory_store.get_by_ids(np.asarray([decl_id], dtype=np.int64))
+        assert decl_id in hydrated
+
+    def test_explicit_ids_preserved_on_rebuild(self, memory_store):
+        """Dump-and-rebuild must keep ids: artifacts (dense index, BM25
+        maps) are keyed on them, and silent renumbering would point every
+        result at the wrong declaration."""
+        from lean_explore_tpu.models import Declaration
+
+        memory_store.insert_many(
+            [
+                Declaration(
+                    id=7,
+                    name="Keep.id",
+                    module="M",
+                    docstring=None,
+                    source_text="def x",
+                    source_link="https://x",
+                    dependencies=None,
+                    informalization=None,
+                )
+            ]
+        )
+        assert memory_store.get_by_id(7).name == "Keep.id"
+
     def test_conflict_ignored(self, memory_store):
         memory_store.insert_many([make_declaration("X", module="M")])
         memory_store.insert_many([make_declaration("X", module="Other")])
