@@ -68,6 +68,11 @@ class ContrastiveBatch(NamedTuple):
     query_mask: jnp.ndarray  # [B, Tq] int32
     doc_ids: jnp.ndarray  # [B, Td] int32
     doc_mask: jnp.ndarray  # [B, Td] int32
+    # True at [i, j] (i != j) when doc_j is the SAME text as doc_i: the
+    # pair source emits multiple queries per document (name + title +
+    # paraphrases), so a batch can contain duplicate positives — without
+    # masking, InfoNCE penalizes the true duplicate as a negative.
+    doc_dup_mask: jnp.ndarray  # [B, B] bool
 
 
 def infonce_loss(
@@ -76,10 +81,12 @@ def infonce_loss(
     batch: ContrastiveBatch,
     temperature: float = 0.05,
 ) -> tuple[jnp.ndarray, dict]:
-    """Symmetric InfoNCE with in-batch negatives."""
+    """Symmetric InfoNCE with in-batch negatives (duplicate-positive
+    columns masked out — see ContrastiveBatch.doc_dup_mask)."""
     q = qwen3.embed_pool(params, config, batch.query_ids, batch.query_mask)
     d = qwen3.embed_pool(params, config, batch.doc_ids, batch.doc_mask)
     logits = (q @ d.T) / temperature  # [B, B] f32
+    logits = jnp.where(batch.doc_dup_mask, -1e9, logits)
     labels = jnp.arange(logits.shape[0])
     loss_q = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_d = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
@@ -116,7 +123,7 @@ def make_train_step(
         return params, opt_state, metrics
 
     batch_sharding = ContrastiveBatch(
-        *(NamedSharding(mesh, P("data", None)) for _ in range(4))
+        *(NamedSharding(mesh, P("data", None)) for _ in range(5))
     )
     specs = param_partition_specs(config)
     param_sharding = jax.tree.map(

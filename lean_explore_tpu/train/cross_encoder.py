@@ -28,18 +28,13 @@ from lean_explore_tpu.models.qwen3 import Qwen3Config
 from lean_explore_tpu.models.tokenizer import encode_batch
 from lean_explore_tpu.train.contrastive import param_partition_specs
 
-DEFAULT_INSTRUCTION = "Find relevant Lean 4 math declarations"
-
-
-def format_pair(
-    query: str, document: str, instruction: str = DEFAULT_INSTRUCTION
-) -> str:
-    """The reference pair template (reranker_client.py:96-108) — training
-    must see byte-identical formatting to what RerankerClient serves."""
-    return (
-        f"<Instruct>: {instruction}\n<Query>: {query}\n"
-        f"<Document>: {document}"
-    )
+# Re-exported from the serving client: training MUST see byte-identical
+# pair formatting to what RerankerClient serves, so both sides import the
+# one definition instead of carrying copies that could drift.
+from lean_explore_tpu.util.reranker_client import (  # noqa: E402
+    DEFAULT_INSTRUCTION,
+    format_pair,
+)
 
 
 class CrossEncoderBatch(NamedTuple):
@@ -67,14 +62,10 @@ def cross_encoder_loss(
     hidden = qwen3.forward_hidden(
         params, config, batch.input_ids, batch.attention_mask
     )
-    last = jnp.max(
-        jnp.where(
-            batch.attention_mask.astype(bool),
-            jnp.arange(batch.attention_mask.shape[1])[None, :],
-            -1,
-        ),
-        axis=1,
-    ).astype(jnp.int32)
+    # Same last-valid-token selection the serving scorer uses — shared so
+    # a padding-side change can't decouple the trained objective from the
+    # served score.
+    last = qwen3._last_valid_index(batch.attention_mask)
     pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]
     pair = qwen3._pair_logits(params, pooled, token_false, token_true)  # [B, 2]
     loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -144,6 +135,13 @@ class CrossEncoderDataLoader:
     ):
         if not examples:
             raise ValueError("no training examples")
+        if len(examples) < batch_size:
+            raise ValueError(
+                f"{len(examples)} examples < batch_size {batch_size}: every "
+                "epoch would yield zero full batches and iteration would "
+                "spin forever (partial batches are dropped for static "
+                "shapes)"
+            )
         self.tokenizer = tokenizer
         self.examples = examples
         self.batch_size = batch_size

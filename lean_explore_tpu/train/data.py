@@ -52,21 +52,34 @@ class ContrastiveDataLoader:
         query_max_length: int = 64,
         doc_max_length: int = 256,
         seed: int = 0,
+        append_eos: bool = True,
     ):
         if not pairs:
             raise ValueError("no training pairs")
+        if len(pairs) < batch_size:
+            raise ValueError(
+                f"{len(pairs)} pairs < batch_size {batch_size}: every epoch "
+                "would yield zero full batches and iteration would spin "
+                "forever (partial batches are dropped for static shapes)"
+            )
         self.tokenizer = tokenizer
         self.pairs = pairs
         self.batch_size = batch_size
         self.query_max_length = query_max_length
         self.doc_max_length = doc_max_length
+        # Serving parity: EmbeddingClient appends EOS and last-token-pools
+        # it (Qwen3-Embedding convention); training must pool the same
+        # position or the served embedding is read at a token the
+        # objective never optimized.
+        self.append_eos = append_eos
         self._rng = np.random.default_rng(seed)
 
     def _encode(self, texts: list[str], max_length: int):
         """Tokenize to a FIXED [batch, max_length] shape so every batch hits
         the same compiled train step."""
         batch = encode_batch(
-            self.tokenizer, texts, max_length=max_length, pad_to_buckets=False
+            self.tokenizer, texts, max_length=max_length,
+            pad_to_buckets=False, append_eos=self.append_eos,
         )
         ids = batch.input_ids
         mask = batch.attention_mask
@@ -89,7 +102,13 @@ class ContrastiveDataLoader:
             d_ids, d_mask = self._encode(
                 [d for _, d in chunk], self.doc_max_length
             )
-            yield ContrastiveBatch(q_ids, q_mask, d_ids, d_mask)
+            docs = np.array([d for _, d in chunk], dtype=object)
+            dup = (docs[:, None] == docs[None, :]) & ~np.eye(
+                len(chunk), dtype=bool
+            )
+            yield ContrastiveBatch(
+                q_ids, q_mask, d_ids, d_mask, jnp.asarray(dup)
+            )
 
     def __iter__(self) -> Iterator[ContrastiveBatch]:
         while True:

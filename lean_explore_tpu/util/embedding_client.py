@@ -12,6 +12,7 @@ import asyncio
 import json
 import logging
 import os
+import threading
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -49,9 +50,13 @@ def _read_query_prompt(model_dir: Path) -> str:
     if cfg.exists():
         try:
             prompts = json.loads(cfg.read_text()).get("prompts", {})
-            if "query" in prompts:
+            if isinstance(prompts, dict) and isinstance(
+                prompts.get("query"), str
+            ):
                 return prompts["query"]
-        except (json.JSONDecodeError, OSError):
+        except (json.JSONDecodeError, OSError, AttributeError):
+            # AttributeError: valid JSON with a non-dict root — graceful
+            # fallback is this function's whole purpose.
             logger.warning("Unreadable %s; using default query prompt", cfg)
     return DEFAULT_QUERY_PROMPT
 
@@ -91,13 +96,23 @@ class EmbeddingClient:
         self.model_name = model_name
         resolved = Path(model_dir) if model_dir else _resolve_model_dir(model_name)
         self.model_dir = resolved
-        self.max_length = max_length or 512
-        self.batch_size = batch_size or int(
-            os.getenv("LEAN_EXPLORE_EMBEDDING_BATCH_SIZE", DEFAULT_BATCH_SIZE)
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        self.max_length = max_length if max_length is not None else 512
+        env_batch = os.getenv("LEAN_EXPLORE_EMBEDDING_BATCH_SIZE")
+        self.batch_size = (
+            batch_size
+            if batch_size is not None
+            else (int(env_batch) if env_batch else DEFAULT_BATCH_SIZE)
         )
         self.append_eos = append_eos
         logger.info("Loading embedding model %s from %s", model_name, resolved)
         self.tokenizer = load_tokenizer(resolved)
+        # HF fast tokenizers are not re-entrant across threads ("Already
+        # borrowed"); concurrent embed()/embed_device() calls run via
+        # asyncio.to_thread, so tokenizer use is serialized here (same
+        # guard as RerankerClient).
+        self._tokenizer_lock = threading.Lock()
         self.params, self.config = load_params(resolved, dtype=jnp.dtype(dtype))
         if os.getenv("LEAN_EXPLORE_FUSED_QKV") == "1":
             # Column-exact GEMM fusion (qwen3.fuse_params_for_serving);
@@ -152,6 +167,7 @@ class EmbeddingClient:
         self.batch_size = batch_size
         self.append_eos = append_eos
         self.tokenizer = tokenizer
+        self._tokenizer_lock = threading.Lock()
         self.params, self.config = params, config
         self.query_prompt = query_prompt
         self.mesh = None
@@ -188,22 +204,21 @@ class EmbeddingClient:
         into on-device retrieval (SearchEngine's dense stage) avoid the
         device->host->device round trip of the wire-format ``embed``.
         """
-        import jax.numpy as jnp_mod
-
         if not texts:
-            return jnp_mod.zeros((0, self.config.hidden_size), jnp_mod.float32)
+            return jnp.zeros((0, self.config.hidden_size), jnp.float32)
         prompted = (
             [self.query_prompt + t for t in texts] if is_query else list(texts)
         )
         out = []
         for start in range(0, len(prompted), self.batch_size):
             chunk = prompted[start : start + self.batch_size]
-            batch = encode_batch(
-                self.tokenizer,
-                chunk,
-                max_length=self.max_length,
-                append_eos=self.append_eos,
-            )
+            with self._tokenizer_lock:
+                batch = encode_batch(
+                    self.tokenizer,
+                    chunk,
+                    max_length=self.max_length,
+                    append_eos=self.append_eos,
+                )
             if self._data_sharding is None:
                 # Ids + [B] lengths dispatch: the [B, T] mask is expanded
                 # in-graph (qwen3.embed_pool_from_ids) — half the
@@ -224,7 +239,7 @@ class EmbeddingClient:
                 )
                 emb = qwen3_mod.embed_pool(self.params, self.config, ids, mask)
             out.append(emb[: batch.n_valid])
-        return out[0] if len(out) == 1 else jnp_mod.concatenate(out, axis=0)
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
 
     def embed_sync(self, texts: list[str], is_query: bool = False) -> np.ndarray:
         """Embed texts -> float32 [len(texts), H], L2-normalized."""

@@ -24,6 +24,22 @@ from lean_explore_tpu.models.tokenizer import encode_batch, load_tokenizer
 logger = logging.getLogger(__name__)
 
 DEFAULT_INSTRUCTION = "Find relevant Lean 4 math declarations"
+
+
+def format_pair(
+    query: str, document: str, instruction: str = DEFAULT_INSTRUCTION
+) -> str:
+    """The reference pair template (reference reranker_client.py:96-108).
+
+    The SINGLE definition: RerankerClient scores with it and the
+    cross-encoder training stack imports it, so training can never drift
+    from the serving format (they previously each carried a verbatim
+    copy with nothing pinning the two strings together).
+    """
+    return (
+        f"<Instruct>: {instruction}\n<Query>: {query}\n"
+        f"<Document>: {document}"
+    )
 DEFAULT_BATCH_SIZE = 64
 
 
@@ -171,10 +187,7 @@ class RerankerClient:
 
     def _format_pair(self, query: str, document: str) -> str:
         """Reference pair template (reranker_client.py:96-108)."""
-        return (
-            f"<Instruct>: {self.instruction}\n<Query>: {query}\n"
-            f"<Document>: {document}"
-        )
+        return format_pair(query, document, self.instruction)
 
     def _truncate_docs(self, documents: list[str], cap: int) -> list[str]:
         """Truncate documents to ~``cap`` tokens of text (cascade prescreen

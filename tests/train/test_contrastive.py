@@ -24,6 +24,7 @@ def make_batch(rng, batch=8, seq=8, vocab=512) -> ContrastiveBatch:
         query_mask=jnp.asarray(mask),
         doc_ids=jnp.asarray(ids[1]),
         doc_mask=jnp.asarray(mask),
+        doc_dup_mask=jnp.zeros((batch, batch), dtype=bool),
     )
 
 
@@ -63,7 +64,9 @@ class TestTraining:
         rng = np.random.default_rng(1)
         ids = jnp.asarray(rng.integers(1, 512, size=(4, 8)).astype(np.int32))
         mask = jnp.ones((4, 8), dtype=jnp.int32)
-        batch = ContrastiveBatch(ids, mask, ids, mask)
+        batch = ContrastiveBatch(
+            ids, mask, ids, mask, jnp.zeros((4, 4), dtype=bool)
+        )
         loss, metrics = infonce_loss(params, config, batch)
         assert float(metrics["accuracy"]) == 1.0
         assert float(loss) >= 0.0
