@@ -38,15 +38,28 @@ def fetch_latest_version(base_url: str | None = None) -> str:
 
 
 def download_file(url: str, destination: Path, progress: Progress) -> None:
+    """Stream to a temp file and rename atomically: an interrupted download
+    must never leave a truncated file at the final path, because the
+    resume pass skips any existing file and serving would then load a
+    corrupt artifact."""
     destination.parent.mkdir(parents=True, exist_ok=True)
     response = requests.get(url, stream=True, timeout=300)
     response.raise_for_status()
     total = int(response.headers.get("content-length", 0))
     task_id = progress.add_task(destination.name, total=total)
-    with open(destination, "wb") as f:
-        for chunk in response.iter_content(chunk_size=1 << 16):
-            f.write(chunk)
-            progress.update(task_id, advance=len(chunk))
+    partial = destination.with_suffix(destination.suffix + ".part")
+    try:
+        with open(partial, "wb") as f:
+            for chunk in response.iter_content(chunk_size=1 << 16):
+                f.write(chunk)
+                progress.update(task_id, advance=len(chunk))
+        if total and partial.stat().st_size != total:
+            raise OSError(
+                f"short download: {partial.stat().st_size} of {total} bytes"
+            )
+        partial.replace(destination)
+    finally:
+        partial.unlink(missing_ok=True)
 
 
 def write_active_version(version: str) -> None:

@@ -42,7 +42,17 @@ def _active_version() -> str:
     env_version = os.getenv("LEAN_EXPLORE_VERSION")
     if env_version:
         return env_version
-    marker = pathlib.Path.home() / ".lean_explore_tpu" / "active_version"
+    # Same derivation as CACHE_DIRECTORY below (this runs before the Config
+    # class exists): the marker lives next to the cache dir, so a custom
+    # LEAN_EXPLORE_CACHE_DIR reads the marker `data fetch` actually wrote
+    # instead of silently falling back to the home-dir default.
+    cache_dir = pathlib.Path(
+        os.getenv(
+            "LEAN_EXPLORE_CACHE_DIR",
+            pathlib.Path.home() / ".lean_explore_tpu" / "cache",
+        )
+    )
+    marker = cache_dir.parent / "active_version"
     if marker.exists():
         return marker.read_text().strip()
     return "v0.1.0"

@@ -141,16 +141,34 @@ def extract_type_dependencies(blob: bytes) -> list[str]:
 _BLOCK_OPEN = "/-"
 _BLOCK_CLOSE = "-/"
 _DECL_KEYWORDS = (
-    " def ",
-    " theorem ",
-    " lemma ",
-    " instance ",
-    " class ",
-    " structure ",
-    " inductive ",
-    " abbrev ",
-    ":=",
+    "def",
+    "theorem",
+    "lemma",
+    "instance",
+    "class",
+    "structure",
+    "inductive",
+    "abbrev",
 )
+
+
+def _contains_decl_keyword(text: str) -> bool:
+    """True when the attribute-extended range has reached a declaration.
+
+    The reference matches ' kw ' with a LEADING SPACE only
+    (doc_parser.py:365-385), so a keyword at column 0 — the common layout
+    for '@[ext]\\nstructure Foo where' — never matches and the range
+    overshoots to the next ':=' anywhere in the file. Deliberate
+    divergence: also match keywords at line starts.
+    """
+    if ":=" in text:
+        return True
+    return any(
+        f" {kw} " in text
+        or f"\n{kw} " in text
+        or text.startswith(f"{kw} ")
+        for kw in _DECL_KEYWORDS
+    )
 
 
 def strip_lean_comments(source_text: str) -> str:
@@ -238,7 +256,7 @@ def read_source_lines(file_path: Path, line_start: int, line_end: int) -> str:
     while end < len(lines):
         end += 1
         extended = "".join(lines[line_start - 1 : end])
-        if any(kw in extended for kw in _DECL_KEYWORDS):
+        if _contains_decl_keyword(extended):
             return extended.rstrip()
     return "".join(lines[line_start - 1 : end]).rstrip()
 
@@ -438,6 +456,18 @@ def detect_docgen_format(workspace_path: Path) -> str:
     return "none"
 
 
+def _module_filter(prefixes: list[str]):
+    """'.'-boundary prefix filter — ONE definition shared by the sqlite and
+    BMP parsers and behavior-matched to PackageConfig.should_include_module
+    (packages.py), so a matching-rule fix cannot silently diverge."""
+    def allowed(module: str) -> bool:
+        return any(
+            module == p or module.startswith(p + ".") for p in prefixes
+        )
+
+    return allowed
+
+
 def parse_sqlite_docs(
     database_path: Path,
     lean_root: Path,
@@ -447,11 +477,7 @@ def parse_sqlite_docs(
 ) -> list[ParsedDeclaration]:
     """Parse an api-docs.db into declarations."""
 
-    def allowed(module: str) -> bool:
-        return any(
-            module == p or module.startswith(p + ".")
-            for p in allowed_module_prefixes
-        )
+    allowed = _module_filter(allowed_module_prefixes)
 
     declarations: list[ParsedDeclaration] = []
     stats = {"prefix": 0, "mk": 0, "no_source": 0, "source_error": 0, "verso": 0}
@@ -548,11 +574,7 @@ def parse_bmp_docs(
 ) -> list[ParsedDeclaration]:
     """Parse legacy per-module BMP JSON files into declarations."""
 
-    def allowed(module: str) -> bool:
-        return any(
-            module == p or module.startswith(p + ".")
-            for p in allowed_module_prefixes
-        )
+    allowed = _module_filter(allowed_module_prefixes)
 
     declarations: list[ParsedDeclaration] = []
     source_errors = 0

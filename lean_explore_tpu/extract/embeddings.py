@@ -44,28 +44,39 @@ def _embed_mesh():
     return make_mesh((n, 1), axis_names=SERVE_AXES)
 
 
-def load_embedding_cache(database_files: list[Path]) -> dict[str, list[float]]:
-    """informalization text -> embedding, scanned across prior databases."""
+def load_embedding_cache(
+    database_files: list[Path], wanted: set[str] | None = None
+) -> dict[str, list[float]]:
+    """informalization text -> embedding, scanned across prior databases.
+
+    ``wanted`` restricts the cache to the texts actually pending (the todo
+    set): without it, every ~4KB blob in every prior extraction db is
+    materialized into Python lists up front — gigabytes for a handful of
+    pending rows. Rows stream cursor-side either way.
+    """
     cache: dict[str, list[float]] = {}
     for db_path in database_files:
         try:
             conn = sqlite3.connect(str(db_path))
             try:
-                rows = conn.execute(
+                cursor = conn.execute(
                     "SELECT informalization, informalization_embedding "
                     "FROM declarations WHERE informalization IS NOT NULL "
                     "AND informalization_embedding IS NOT NULL"
-                ).fetchall()
+                )
+                for text, blob in cursor:
+                    if text in cache:
+                        continue
+                    if wanted is not None and text not in wanted:
+                        continue
+                    vector = unpack_embedding(blob)
+                    if vector:
+                        cache[text] = vector
             finally:
                 conn.close()
         except sqlite3.DatabaseError as error:
             logger.warning("skipping cache db %s: %s", db_path, error)
             continue
-        for text, blob in rows:
-            if text not in cache:
-                vector = unpack_embedding(blob)
-                if vector:
-                    cache[text] = vector
     logger.info("embedding cache: %d entries", len(cache))
     return cache
 
@@ -104,7 +115,10 @@ def generate_embeddings(
     if use_cache:
         from lean_explore_tpu.extract.informalize import discover_database_files
 
-        cache = load_embedding_cache(discover_database_files())
+        cache = load_embedding_cache(
+            discover_database_files(),
+            wanted={d.informalization for d in todo if d.informalization},
+        )
 
     cached_rows = [
         (d.id, cache[d.informalization]) for d in todo if d.informalization in cache

@@ -21,7 +21,9 @@ logger = logging.getLogger(__name__)
 _TIMEOUT_SECONDS = 30
 _OWNER_REPO = re.compile(r"github\.com/([^/]+)/([^/]+?)(?:\.git)?$")
 _TOOLCHAIN_VERSION = re.compile(r"v\d+\.\d+\.\d+(?:-rc\d+)?")
-_RELEASE_TAG = re.compile(r"^v?\d+\.\d+\.\d+")
+# Full match: a prefix match would rank 'v2.0.0-rc3' as a release and its
+# trailing digit would beat the final 'v2.0.0' in numeric comparison.
+_RELEASE_TAG = re.compile(r"^v?\d+\.\d+\.\d+$")
 
 
 class GitHubFetchError(RuntimeError):
@@ -87,13 +89,19 @@ def fetch_latest_tag(git_url: str) -> str:
     none do, the API's first (most recent) tag is used as-is.
     """
     repo = RepoRef.parse(git_url)
-    url = repo.tags_url()
-    logger.info("listing tags: %s", url)
-    tags = json.loads(_get(url, accept="application/vnd.github.v3+json"))
-    if not tags:
+    names: list[str] = []
+    # Paginate: GitHub's /tags ordering is not semver, so with >100 tags
+    # the newest release can fall outside the first page (cap at 10 pages
+    # — 1000 tags — as a runaway guard).
+    for page in range(1, 11):
+        url = f"{repo.tags_url()}&page={page}"
+        logger.info("listing tags: %s", url)
+        tags = json.loads(_get(url, accept="application/vnd.github.v3+json"))
+        names.extend(t["name"] for t in tags)
+        if len(tags) < 100:
+            break
+    if not names:
         raise GitHubFetchError(f"{repo.owner}/{repo.repo} has no tags")
-
-    names = [t["name"] for t in tags]
     releases = [n for n in names if _RELEASE_TAG.match(n)]
     if not releases:
         return names[0]

@@ -59,7 +59,13 @@ PACKAGE_REGISTRY: dict[str, PackageConfig] = {
     "physlean": PackageConfig(
         name="physlean",
         git_url="https://github.com/HEPLean/PhysLean",
-        module_prefixes=["Physlib", "QuantumInfo"],
+        # The reference registry pins "Physlib" (package_registry.py:20),
+        # but the pinned PhysLean checkout's root module is "PhysLean"
+        # (lean/physlean/PhysExtract.lean imports it) — with only the
+        # reference's value, every PhysLean declaration fails the prefix
+        # filter. Accept both so reference rows stay included AND the
+        # package actually contributes declarations.
+        module_prefixes=["PhysLean", "Physlib", "QuantumInfo"],
         version_strategy=VersionStrategy.TAGGED,
         depends_on=["mathlib"],
     ),
