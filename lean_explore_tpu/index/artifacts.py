@@ -25,6 +25,7 @@ from pathlib import Path
 import numpy as np
 
 from lean_explore_tpu.config import REQUIRED_INDEX_FILES
+from lean_explore_tpu.index import dense as dense_mod
 from lean_explore_tpu.index.bm25 import Bm25Index, Bm25Params
 from lean_explore_tpu.index.dense import DenseIndex
 from lean_explore_tpu.models import DeclarationStore
@@ -109,8 +110,18 @@ def build_index_artifacts(
     else:
         dim = embedding_dim or 0
         matrix = np.zeros((0, dim), dtype=np.float32)
-    dense = DenseIndex.build(matrix, np.asarray(emb_ids, dtype=np.int64))
-    dense.save(output_directory)
+    # Pure host-side write: normalizing and saving f32 bytes needs no
+    # device round trip (DenseIndex.build would place the padded matrix in
+    # HBM and copy it back just to hit disk — two wasted transfers and a
+    # possible OOM on small-HBM hosts for an offline build step). The
+    # serving dtype/padding is a LOAD-time choice.
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    normalized = (matrix / np.maximum(norms, 1e-12)).astype(np.float32)
+    np.save(output_directory / dense_mod.EMBEDDINGS_FILE, normalized)
+    np.save(
+        output_directory / dense_mod.IDS_FILE,
+        np.asarray(emb_ids, dtype=np.int64),
+    )
 
     manifest = {
         "schema": MANIFEST_SCHEMA,
@@ -141,17 +152,10 @@ def _load_dense(directory: Path, dense_dtype: str, mesh):
     if mesh is None or mesh is False:
         return DenseIndex.load(directory, dtype=dense_dtype)
 
-    from lean_explore_tpu.index.dense import EMBEDDINGS_FILE, IDS_FILE
+    from lean_explore_tpu.index.dense import require_dense_artifacts
     from lean_explore_tpu.parallel.sharded import ShardedDenseIndex
 
-    emb_path = directory / EMBEDDINGS_FILE
-    ids_path = directory / IDS_FILE
-    for p in (emb_path, ids_path):
-        if not p.exists():
-            raise FileNotFoundError(
-                f"Dense index artifact missing: {p}. Run 'lean-explore data "
-                "fetch' or the extraction pipeline first."
-            )
+    emb_path, ids_path = require_dense_artifacts(directory)
     from lean_explore_tpu.config import Config
 
     logger.info(
@@ -186,6 +190,31 @@ def load_index_artifacts(
             "Run 'lean-explore data fetch' or the extraction pipeline first."
         )
     manifest = json.loads(manifest_path.read_text())
+    schema = manifest.get("schema")
+    if schema != MANIFEST_SCHEMA:
+        raise ValueError(
+            f"Index artifact schema {schema!r} at {directory} does not match "
+            f"this build's schema {MANIFEST_SCHEMA} — the artifacts were "
+            "produced by an incompatible version. Re-run the extraction "
+            "pipeline or 'lean-explore data fetch' a matching release."
+        )
+    # Only the files THIS loader reads: declarations.db is validated by
+    # SearchEngine (stores are frequently injected separately in tests
+    # and scripts).
+    index_files = (
+        dense_mod.EMBEDDINGS_FILE,
+        dense_mod.IDS_FILE,
+        BM25_SPACED_FILE,
+        BM25_RAW_FILE,
+        BM25_IDS_FILE,
+    )
+    missing = [f for f in index_files if not (directory / f).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"Index artifact set at {directory} is incomplete (missing "
+            f"{', '.join(missing)}). Run 'lean-explore data fetch' or the "
+            "extraction pipeline first."
+        )
     return IndexArtifacts(
         dense=_load_dense(directory, dense_dtype, mesh),
         bm25_spaced=Bm25Index.load(directory / BM25_SPACED_FILE),

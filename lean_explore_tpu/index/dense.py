@@ -30,6 +30,22 @@ IDS_FILE = "dense_ids.npy"
 ROW_ALIGN = 512
 
 
+def require_dense_artifacts(directory: str | Path) -> tuple[Path, Path]:
+    """(embeddings_path, ids_path), raising the guided FileNotFoundError
+    when either is missing — ONE definition for the single-device and
+    sharded load paths."""
+    directory = Path(directory)
+    emb_path = directory / EMBEDDINGS_FILE
+    ids_path = directory / IDS_FILE
+    for p in (emb_path, ids_path):
+        if not p.exists():
+            raise FileNotFoundError(
+                f"Dense index artifact missing: {p}. Run 'lean-explore data "
+                "fetch' or the extraction pipeline first."
+            )
+    return emb_path, ids_path
+
+
 class DenseIndex:
     """Exact inner-product index over normalized embeddings."""
 
@@ -113,15 +129,7 @@ class DenseIndex:
     def load(
         cls, directory: str | Path, *, dtype: str | jnp.dtype = "float32"
     ) -> "DenseIndex":
-        directory = Path(directory)
-        emb_path = directory / EMBEDDINGS_FILE
-        ids_path = directory / IDS_FILE
-        for p in (emb_path, ids_path):
-            if not p.exists():
-                raise FileNotFoundError(
-                    f"Dense index artifact missing: {p}. Run 'lean-explore data "
-                    "fetch' or the extraction pipeline first."
-                )
+        emb_path, ids_path = require_dense_artifacts(directory)
         mat = np.load(emb_path)
         ids = np.load(ids_path)
         if str(dtype) == "int8":

@@ -69,6 +69,10 @@ def reciprocal_rank_fusion(
 ) -> list[float]:
     """RRF(d) = sum_i 1 / (k + rank_i(d)); k=0 reproduces the reference's
     plain 1/rank fusion (engine.py:296)."""
+    if not rank_lists:
+        # np path would collapse shape (0,) to a 0-d array whose .tolist()
+        # is the scalar 0.0 — honor the declared list[float] contract.
+        return []
     mat = np.asarray(rank_lists, dtype=np.float64)
     return (1.0 / (k + mat)).sum(axis=0).tolist()
 
@@ -124,6 +128,12 @@ def fuzzy_name_scores_pairs(
     into ONE native call here (thousands of pairs), instead of a Python
     SequenceMatcher per pair.
     """
+    if len(queries) != len(names):
+        # zip would silently truncate and every later pair's score would
+        # shift onto the wrong candidate in the engine's flat slicing.
+        raise ValueError(
+            f"queries ({len(queries)}) and names ({len(names)}) must align"
+        )
     if not names:
         return []
     from lean_explore_tpu.native import fuzzy_batch_native

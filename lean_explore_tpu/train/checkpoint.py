@@ -7,6 +7,7 @@ saved/restored with orbax so multi-host meshes work unchanged.
 """
 
 import logging
+import re
 from pathlib import Path
 from typing import Any
 
@@ -40,16 +41,28 @@ def save_checkpoint(
     return path
 
 
+_STEP_DIR = re.compile(r"^step_(\d+)$")
+
+
 def latest_checkpoint(directory: str | Path) -> tuple[int, Path] | None:
-    """(step, path) of the newest checkpoint, or None."""
+    """(step, path) of the newest COMMITTED checkpoint, or None.
+
+    Matches ``step_<digits>`` exactly: an interrupted orbax save leaves a
+    ``step_N.orbax-checkpoint-tmp`` directory that a bare ``step_*`` glob
+    would select (it sorts after the committed dir), crashing resume with
+    a ValueError exactly when checkpoint recovery is needed.
+    """
     directory = Path(directory)
     if not directory.exists():
         return None
-    candidates = sorted(directory.glob("step_*"))
+    candidates = [
+        (int(m.group(1)), p)
+        for p in directory.glob("step_*")
+        if (m := _STEP_DIR.match(p.name))
+    ]
     if not candidates:
         return None
-    path = candidates[-1]
-    return int(path.name.split("_")[1]), path
+    return max(candidates)
 
 
 def restore_checkpoint(

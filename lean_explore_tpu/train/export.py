@@ -72,6 +72,14 @@ def export_hf_checkpoint(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # A leftover sharded-checkpoint index would make hf_loader prefer the
+    # OLD shard files over the fresh model.safetensors written below —
+    # silently serving pre-training weights. Remove the sharded layout.
+    index = out_dir / "model.safetensors.index.json"
+    if index.exists():
+        index.unlink()
+        for shard in out_dir.glob("model-*-of-*.safetensors"):
+            shard.unlink()
 
     def host(x) -> np.ndarray:
         return np.asarray(x, dtype=np.float32)
