@@ -20,9 +20,17 @@ def evaluate_engine(
     batch: int = 64,
     dense_k: int = 1000,
     bm25_k: int = 1000,
-    rerank_top: int = 0,
+    rerank_top: int = 50,
 ) -> dict:
-    """recall@1/@k and MRR@k of engine.search_batch on (query, target) pairs."""
+    """recall@1/@k and MRR@k of engine.search_batch on (query, target) pairs.
+
+    ``rerank_top`` defaults to the SERVING default (Service.search's 50,
+    reference search/service.py:41-50) so an eval written against the
+    defaults measures the full pipeline including the rerank stage. Pass
+    ``rerank_top=0`` explicitly to ablate rerank — engines with no
+    reranker checkpoint available MUST do so, or the engine will try to
+    construct its default RerankerClient.
+    """
     if not labeled:
         raise ValueError(
             "evaluate_engine needs at least one (query, target) pair — "

@@ -143,6 +143,10 @@ def main() -> None:
             for row in map(json.loads, Path(args.queries_file).read_text().splitlines())
         ]
         engine = SearchEngine(args.data_dir)
+        # Real artifacts: evaluate the full serving path, including the
+        # rerank stage (evaluate_engine's default rerank_top=50, the
+        # serving default) — set LEAN_EXPLORE_RERANKER_MODEL to the
+        # checkpoint to serve with.
         configs = {"hybrid": dict()}
     else:
         log(f"building synthetic corpus (n={args.n}, dim={args.dim}) ...")
@@ -160,10 +164,14 @@ def main() -> None:
             artifacts=load_index_artifacts(tmp, mesh=False),
             embedding_client=embedder,
         )
+        # rerank_top=0 explicitly: this harness gates retrieval GEOMETRY
+        # (dense/BM25/fusion) with a synthetic vector embedder and no
+        # reranker; the rerank-path quality gate is
+        # tests/train/test_reranker_serve_eval.py.
         configs = {
-            "hybrid": dict(),
-            "dense_only": dict(bm25_k=0),
-            "bm25_only": dict(dense_k=0),
+            "hybrid": dict(rerank_top=0),
+            "dense_only": dict(bm25_k=0, rerank_top=0),
+            "bm25_only": dict(dense_k=0, rerank_top=0),
         }
 
     report = {}

@@ -267,9 +267,18 @@ def main() -> None:
             embedding_client=client,
         )
         report["results"][label] = {
-            "hybrid": evaluate_engine(engine, corpus.eval_queries),
-            "dense_only": evaluate_engine(engine, corpus.eval_queries, bm25_k=0),
-            "bm25_only": evaluate_engine(engine, corpus.eval_queries, dense_k=0),
+            # rerank_top=0 explicitly: this script trains/evaluates the
+            # EMBEDDER stages only — no reranker checkpoint exists yet
+            # (train_reranker_e2e.py evaluates the full pipeline).
+            "hybrid": evaluate_engine(
+                engine, corpus.eval_queries, rerank_top=0
+            ),
+            "dense_only": evaluate_engine(
+                engine, corpus.eval_queries, bm25_k=0, rerank_top=0
+            ),
+            "bm25_only": evaluate_engine(
+                engine, corpus.eval_queries, dense_k=0, rerank_top=0
+            ),
         }
         log(f"{label}: {json.dumps(report['results'][label])}")
 
