@@ -425,9 +425,17 @@ def serve(
     """
     batcher = SearchBatcher(service, coalesce_ms=coalesce_ms, max_batch=max_batch)
     handler = make_handler(batcher, api_key, base_path)
+
+    class _BurstHTTPServer(ThreadingHTTPServer):
+        # This server exists to absorb request BURSTS into device batches;
+        # the socketserver default backlog of 5 drops SYNs under exactly
+        # that load, and dropped SYNs retransmit after ~1s — the kernel
+        # would serialize the burst before coalescing ever sees it.
+        request_queue_size = 256
+
     # Bind before starting the batcher thread: a failed bind (port in use)
     # must not leak a live event-loop thread per attempt.
-    server = ThreadingHTTPServer((host, port), handler)
+    server = _BurstHTTPServer((host, port), handler)
     batcher.start()
     server.batcher = batcher
     logger.info(

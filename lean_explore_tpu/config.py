@@ -145,11 +145,18 @@ class Config:
     )
     """Reranker model id or local path (reference engine.py:59)."""
 
-    EMBEDDING_MAX_LENGTH: int = 512
-    """Token truncation length for the embedder (reference engine.py:135)."""
+    EMBEDDING_MAX_LENGTH: int = int(
+        os.getenv("LEAN_EXPLORE_EMBEDDING_MAX_LENGTH", "512")
+    )
+    """Token truncation length for the embedder (reference engine.py:135).
+    Env-overridable: padded sequence length is the compile shape, so a
+    deployment whose corpus fits 128 tokens saves 4x encode compute."""
 
-    RERANKER_MAX_LENGTH: int = 256
-    """Token truncation length for the reranker (reference engine.py:147)."""
+    RERANKER_MAX_LENGTH: int = int(
+        os.getenv("LEAN_EXPLORE_RERANKER_MAX_LENGTH", "256")
+    )
+    """Token truncation length for the reranker (reference engine.py:147).
+    Env-overridable, same compile-shape reasoning as the embedder's."""
 
     EMBEDDING_DIM: int = 1024
     """Embedding dimensionality (reference models/search_db.py:76)."""

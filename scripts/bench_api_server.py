@@ -5,14 +5,17 @@ with trained weights at every stage, production-length documents, and the
 validated rerank cascade, under three arms:
 
   direct      Service.search_batch(all queries) — no HTTP, the upper bound
-  coalesced   N concurrent HTTP requests, one server with max_batch=N
-  serialized  N concurrent HTTP requests, one server with max_batch=1
+  coalesced   N open-loop HTTP requests, one server with max_batch=N
+  serialized  N open-loop HTTP requests, one server with max_batch=1
               (every request runs the single-query pipeline alone — what a
               non-batching HTTP front end would do)
 
-All three arms run in one process on the bench host; HTTP client work
-shares the host CPU with the server's own host stages, so the absolute
-HTTP numbers are conservative on a 1-core host (disclosed in the output).
+The HTTP arms are driven by a SEPARATE stdlib-only client process
+(scripts/http_openloop_client.py) that pre-serializes every request
+before its clock starts and sleeps in epoll while the server computes:
+the round-4 in-process async client preempted the server's host stages
+on this 1-core host and inflated time-inside-search_batch 13x
+(docs/performance.md "HTTP serving").
 
     python scripts/bench_api_server.py --out runs/api_server_bench.json
 """
@@ -31,29 +34,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
-
-
-async def _fire(base_url: str, queries: list[str], limit: int) -> float:
-    import httpx
-
-    async with httpx.AsyncClient(
-        timeout=600.0, headers={"Authorization": "Bearer bench"}
-    ) as client:
-        t0 = time.perf_counter()
-        responses = await asyncio.gather(
-            *(
-                client.get(
-                    f"{base_url}/search", params={"q": q, "limit": limit}
-                )
-                for q in queries
-            )
-        )
-        elapsed = time.perf_counter() - t0
-    for response in responses:
-        response.raise_for_status()
-        if not response.json()["results"]:
-            raise RuntimeError("empty result set in benchmark arm")
-    return elapsed
 
 
 def main() -> None:
@@ -149,9 +129,11 @@ def main() -> None:
             "n_requests": args.n_requests,
             "limit": args.limit,
             "coalesce_ms": args.coalesce_ms,
-            "note": "1-core bench host: HTTP client work contends with the "
-            "server's host stages, so HTTP arms are conservative; the "
-            "coalesced-vs-serialized RATIO is the designed-for comparison.",
+            "note": "HTTP arms driven open-loop from a separate "
+            "stdlib-only process (scripts/http_openloop_client.py): "
+            "requests pre-serialized before the clock, client asleep in "
+            "epoll while the server computes. Residual 1-core cost in "
+            "the HTTP arms is the server's own handler threads.",
         },
         "results": {},
     }
@@ -188,11 +170,42 @@ def main() -> None:
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
         base = f"http://127.0.0.1:{server.server_address[1]}/api/v2"
-        log(f"arm: {label} ({n_reqs} concurrent requests) ...")
-        elapsed = asyncio.run(_fire(base, queries[:n_reqs], args.limit))
+        log(f"arm: {label} ({n_reqs} open-loop requests, external client) ...")
+        # Round-4 lesson (runs/api_server_bench.json): an in-process async
+        # client preempts the server's host stages on a 1-core host and
+        # measures ITSELF (time-inside-search_batch inflated 13x). The
+        # load now comes from a separate stdlib-only process that
+        # pre-serializes all requests and sleeps in epoll while the
+        # server computes (scripts/http_openloop_client.py).
+        queries_file = work / f"queries_{label}.txt"
+        queries_file.write_text("\n".join(queries[:n_reqs]))
+        import subprocess
+
+        client = subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "http_openloop_client.py"),
+                base,
+                str(queries_file),
+                "--limit", str(args.limit),
+                "--api-key", "bench",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        if client.returncode != 0:
+            raise RuntimeError(
+                f"open-loop client failed in arm {label}: "
+                f"{client.stdout[-500:]} {client.stderr[-1000:]}"
+            )
+        fired = json.loads(client.stdout.strip())
+        elapsed = fired["seconds"]
         report["results"][label] = {
             "seconds": round(elapsed, 2),
             "qps": round(n_reqs / elapsed, 1),
+            "n_ok": fired["n_ok"],
+            "latency_ms": fired["latency_ms"],
             "engine_batches": server.batcher.batches_run,
             "engine_seconds": round(server.batcher.engine_seconds, 2),
             "engine_ms_per_request": round(
