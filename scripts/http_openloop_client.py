@@ -114,7 +114,9 @@ def main() -> None:
     for state in states:
         raw = bytes(state["buf"])
         head, _, body = raw.partition(b"\r\n\r\n")
-        if not head.startswith(b"HTTP/1.1 200"):
+        status_line = head.split(b"\r\n", 1)[0]  # e.g. HTTP/1.1 200 OK
+        parts = status_line.split()
+        if len(parts) < 2 or not parts[0].startswith(b"HTTP/1.") or parts[1] != b"200":
             continue
         try:
             if json.loads(body)["results"]:
