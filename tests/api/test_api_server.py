@@ -170,6 +170,22 @@ class TestRoundTrip:
         assert found is not None and found.id == 1
         assert asyncio.run(client.get_by_id(999_999)) is None
 
+    def test_burst_listen_backlog(self, live_server):
+        # A coalescing server exists to absorb request bursts; the
+        # socketserver default backlog of 5 would drop SYNs under that
+        # load (dropped SYNs retransmit after ~1s, serializing the burst
+        # at the kernel before the batcher ever sees it).
+        _, service = live_server
+        assert service is not None  # fixture server is the one under test
+        from lean_explore_tpu.api import server as server_mod
+
+        built = server_mod.serve(service, port=0, coalesce_ms=0.0)
+        try:
+            assert built.request_queue_size >= 128
+        finally:
+            built.server_close()
+            built.batcher.stop()
+
 
 class TestAuth:
     def test_wrong_key_is_401(self, live_server):
