@@ -132,6 +132,8 @@ class CrossEncoderDataLoader:
         max_length: int = 96,
         instruction: str = DEFAULT_INSTRUCTION,
         seed: int = 0,
+        truncation_augment: float = 0.0,
+        truncation_caps: tuple[int, int] = (8, 96),
     ):
         if not examples:
             raise ValueError("no training examples")
@@ -147,7 +149,19 @@ class CrossEncoderDataLoader:
         self.batch_size = batch_size
         self.max_length = max_length
         self.instruction = instruction
+        self.truncation_augment = truncation_augment
+        self.truncation_caps = truncation_caps
         self._rng = np.random.default_rng(seed)
+
+    def _truncate_doc(self, doc: str, cap: int) -> str:
+        """Tokenize-cap-decode, byte-matching the serving cascade's
+        prescreen truncation (util/reranker_client.py:_truncate_docs) so
+        the augmented training distribution IS the prescreen's input
+        distribution."""
+        ids = self.tokenizer(
+            doc, truncation=True, max_length=cap, add_special_tokens=False
+        )["input_ids"]
+        return self.tokenizer.decode(ids)
 
     def _encode(self, texts: list[str]):
         batch = encode_batch(
@@ -170,6 +184,27 @@ class CrossEncoderDataLoader:
             chunk = [
                 self.examples[i] for i in order[start : start + self.batch_size]
             ]
+            if self.truncation_augment > 0.0:
+                # Truncation augmentation: with probability p, the model
+                # sees the pair at a random doc-token cap — positives must
+                # still read true and negatives false from a PREFIX, which
+                # is exactly what the cascade's stage-1 prescreen asks of
+                # it at serving time. Without this, prescreen coverage is
+                # wildly non-monotone in the cap (docs/performance.md:
+                # cap 64 ranked gold at median 49/50 on the 200k chain).
+                lo, hi = self.truncation_caps
+                chunk = [
+                    (
+                        q,
+                        self._truncate_doc(
+                            d, int(self._rng.integers(lo, hi + 1))
+                        )
+                        if self._rng.random() < self.truncation_augment
+                        else d,
+                        y,
+                    )
+                    for q, d, y in chunk
+                ]
             ids, mask = self._encode(
                 [format_pair(q, d, self.instruction) for q, d, _ in chunk]
             )

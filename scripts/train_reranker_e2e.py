@@ -73,6 +73,13 @@ def main() -> None:
         help="EmbeddingClient max_length for corpus embedding",
     )
     parser.add_argument("--rerank-top", type=int, default=50)
+    parser.add_argument(
+        "--truncation-augment", type=float, default=0.0,
+        help="probability of truncating an example's document to a random "
+        "token cap (8-96), byte-matching the cascade prescreen's "
+        "truncation — trains the rank behavior stage 1 needs; ~0.25 "
+        "makes prescreen coverage monotone in the cap (docs/performance.md)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--no-name-variants", action="store_true",
@@ -199,6 +206,7 @@ def main() -> None:
         batch_size=args.batch_size,
         max_length=args.max_length,
         seed=args.seed,
+        truncation_augment=args.truncation_augment,
     )
     batches = iter(loader)
     t0 = time.perf_counter()

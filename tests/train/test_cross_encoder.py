@@ -213,3 +213,49 @@ class TestDataLoader:
             assert batch.labels.shape == (16,)
             assert set(np.asarray(batch.labels)) <= {0, 1}
         assert shapes == {(16, 48)}
+
+    def test_truncation_augment_matches_serving_semantics(self, tmp_path):
+        """Augmented docs must be token-prefixes (the cascade prescreen's
+        tokenize-cap-decode), applied at ~the requested rate, and off by
+        default."""
+        corpus = make_corpus(
+            n_decls=80, n_concepts=24, n_eval=8, seed=7, body_sentences=5
+        )
+        examples = make_reranker_examples(corpus, np.random.default_rng(0))
+        tok_dir = build_wordlevel_tokenizer(
+            corpus.texts(), tmp_path / "tok",
+            extra_texts=(format_pair("q", "d"), "true false"),
+        )
+        from lean_explore_tpu.models.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(tok_dir)
+        loader = CrossEncoderDataLoader(
+            tokenizer, examples, batch_size=16, max_length=48,
+            truncation_augment=0.5, truncation_caps=(8, 24), seed=3,
+        )
+
+        # The truncation helper itself: exact tokenize-cap-decode parity
+        # with RerankerClient._truncate_docs on a long doc.
+        doc = examples[0][1]
+        ids_full = tokenizer(doc, add_special_tokens=False)["input_ids"]
+        assert len(ids_full) > 24  # body_sentences=5 docs are ~110 words
+        capped = loader._truncate_doc(doc, 12)
+        ids_capped = tokenizer(capped, add_special_tokens=False)["input_ids"]
+        assert ids_capped == ids_full[:12]
+
+        # Rate: drive one epoch's chunk transform via the public iterator
+        # by comparing encoded lengths against an unaugmented twin.
+        plain = CrossEncoderDataLoader(
+            tokenizer, examples, batch_size=16, max_length=48, seed=3
+        )
+        aug_lens = [
+            int(b.attention_mask.sum())
+            for _, b in zip(range(8), iter(loader))
+        ]
+        plain_lens = [
+            int(b.attention_mask.sum())
+            for _, b in zip(range(8), iter(plain))
+        ]
+        # Same example order (same seed) -> shorter total valid length
+        # exactly when augmentation truncated something.
+        assert sum(aug_lens) < sum(plain_lens)
