@@ -60,6 +60,12 @@ def main() -> None:
     parser.add_argument(
         "--caps", type=int, nargs="+", default=[8, 12, 16, 24, 32, 48, 64]
     )
+    parser.add_argument(
+        "--data-dir", type=str, default=None,
+        help="measure against an EXISTING artifact directory instead of "
+        "rebuilding and re-embedding the corpus; corpus args still "
+        "generate the labeled eval queries and must match the index.",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     args = parser.parse_args()
@@ -88,39 +94,46 @@ def main() -> None:
     )
     target_by_query = dict(corpus.eval_queries)
 
-    work = args.out.parent / "prescreen_work"
-    if work.exists():
-        shutil.rmtree(work)
-    work.mkdir(parents=True)
-    store = DeclarationStore(work / "declarations.db", create=True)
-    store.insert_many(corpus.declarations)
-
-    log("embedding corpus ...")
     emb_client = EmbeddingClient(
         str(args.embedder), max_length=args.emb_max_length, batch_size=256,
         dtype="float32",
     )
-    ids, texts = [], []
-    for decl in store.iter_all(with_embeddings=False):
-        ids.append(decl.id)
-        texts.append(decl.informalization)
 
-    from lean_explore_tpu.models.tokenizer import unk_fraction
+    if args.data_dir is not None:
+        # Measure against an EXISTING artifact directory (a served index
+        # or a train_*_e2e.py run's artifacts/) — skips the corpus embed.
+        work = Path(args.data_dir)
+        store = DeclarationStore(work / "declarations.db")
+    else:
+        work = args.out.parent / "prescreen_work"
+        if work.exists():
+            shutil.rmtree(work)
+        work.mkdir(parents=True)
+        store = DeclarationStore(work / "declarations.db", create=True)
+        store.insert_many(corpus.declarations)
 
-    unk = unk_fraction(emb_client.tokenizer, texts)
-    if unk > 0.2:
-        raise SystemExit(
-            f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
-            "under the embedder's tokenizer — these checkpoints were "
-            "trained on a different corpus regime (e.g. short-doc "
-            "checkpoints vs --body-sentences > 1); the measurement would "
-            "describe uniform <unk> filler, not the intended text. Train "
-            "matching checkpoints first (scripts/train_*_e2e.py with the "
-            "same --body-sentences)."
-        )
-    vecs = emb_client.embed_sync(texts, is_query=False)
-    store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
-    build_index_artifacts(store, work)
+        log("embedding corpus ...")
+        ids, texts = [], []
+        for decl in store.iter_all(with_embeddings=False):
+            ids.append(decl.id)
+            texts.append(decl.informalization)
+
+        from lean_explore_tpu.models.tokenizer import unk_fraction
+
+        unk = unk_fraction(emb_client.tokenizer, texts)
+        if unk > 0.2:
+            raise SystemExit(
+                f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
+                "under the embedder's tokenizer — these checkpoints were "
+                "trained on a different corpus regime (e.g. short-doc "
+                "checkpoints vs --body-sentences > 1); the measurement would "
+                "describe uniform <unk> filler, not the intended text. Train "
+                "matching checkpoints first (scripts/train_*_e2e.py with the "
+                "same --body-sentences)."
+            )
+        vecs = emb_client.embed_sync(texts, is_query=False)
+        store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
+        build_index_artifacts(store, work)
 
     client = RerankerClient(
         str(args.reranker),
@@ -211,7 +224,8 @@ def main() -> None:
         log(f"cap={cap}: {json.dumps(row)}")
 
     args.out.write_text(json.dumps(report, indent=2))
-    shutil.rmtree(work)
+    if args.data_dir is None:  # never delete a caller-owned index
+        shutil.rmtree(work)
     print(json.dumps(report))
 
 
