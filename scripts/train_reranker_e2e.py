@@ -76,19 +76,23 @@ def main() -> None:
     parser.add_argument(
         "--truncation-augment", type=float, default=0.0,
         help="probability of truncating an example's document to a random "
-        "token cap, byte-matching the cascade prescreen's truncation — "
-        "trains the rank behavior stage 1 needs (docs/performance.md). "
-        "Costs full-length epoch coverage: raise --steps by 1/(1-p).",
+        "token cap, byte-matching the cascade prescreen's truncation. "
+        "MEASURED NEGATIVE at 200k scale, twice: caps (8,96) p=0.25 18k "
+        "steps drags full-length direct recall 0.994 -> 0.719; the "
+        "diagnosed fix (title-preserving caps (24,96), +6k steps) "
+        "regressed 5.8x further to 0.125 — deleting body prose teaches "
+        "title-lexical matching and destroys query-paraphrase "
+        "generalization, invisibly to train accuracy "
+        "(docs/performance.md 'Truncation-augmented training'). Kept "
+        "off-default as the documented experiment.",
     )
     parser.add_argument(
         "--truncation-caps", type=int, nargs=2, default=(24, 96),
         metavar=("LO", "HI"),
-        help="random cap range for --truncation-augment. Keep LO large "
-        "enough to cover the discriminative title (~24 tokens at "
-        "production length): a cap that cuts INTO the title makes the "
-        "label unjudgeable from the prefix — measured as label noise "
-        "that drags FULL-length direct recall 0.994 -> 0.719 at caps "
-        "(8,96), p=0.25, 18k steps.",
+        help="random cap range for --truncation-augment. Title-preserving "
+        "LO (>=24 at production length) removes the label-noise failure "
+        "mode but NOT the paraphrase-generalization collapse — see "
+        "--truncation-augment.",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
