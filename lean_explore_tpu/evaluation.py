@@ -12,6 +12,38 @@ import asyncio
 import numpy as np
 
 
+def guard_store_vocab(store, tokenizer, *, sample: int = 64) -> None:
+    """Refuse to evaluate a store whose text the tokenizer cannot read.
+
+    Samples ``sample`` informalizations and raises ``SystemExit`` when
+    more than 20% of their tokens are <unk> — the signature of pointing
+    an eval at checkpoints trained on a different corpus regime (e.g.
+    short-doc checkpoints vs a --body-sentences 5 index). Without this
+    guard the run completes normally and the committed numbers describe
+    uniform <unk> filler. Used by every eval script on BOTH index paths:
+    the rebuild path (before embedding) and --data-dir (caller-owned
+    index; the mismatch is just as silent there).
+    """
+    from .models.tokenizer import unk_fraction
+
+    texts: list[str] = []
+    for decl in store.iter_all(with_embeddings=False):
+        texts.append(decl.informalization)
+        if len(texts) >= sample:
+            break
+    unk = unk_fraction(tokenizer, texts)
+    if unk > 0.2:
+        raise SystemExit(
+            f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
+            "under the model's tokenizer — these checkpoints were trained "
+            "on a different corpus regime (e.g. short-doc checkpoints vs "
+            "--body-sentences > 1); the measurement would describe uniform "
+            "<unk> filler, not the intended text. Train matching "
+            "checkpoints first (scripts/train_*_e2e.py with the same "
+            "--body-sentences)."
+        )
+
+
 def evaluate_engine(
     engine,
     labeled: list[tuple[str, str]],

@@ -133,7 +133,7 @@ class CrossEncoderDataLoader:
         instruction: str = DEFAULT_INSTRUCTION,
         seed: int = 0,
         truncation_augment: float = 0.0,
-        truncation_caps: tuple[int, int] = (8, 96),
+        truncation_caps: tuple[int, int] = (24, 96),
     ):
         if not examples:
             raise ValueError("no training examples")
@@ -186,12 +186,13 @@ class CrossEncoderDataLoader:
             ]
             if self.truncation_augment > 0.0:
                 # Truncation augmentation: with probability p, the model
-                # sees the pair at a random doc-token cap — positives must
-                # still read true and negatives false from a PREFIX, which
-                # is exactly what the cascade's stage-1 prescreen asks of
-                # it at serving time. Without this, prescreen coverage is
-                # wildly non-monotone in the cap (docs/performance.md:
-                # cap 64 ranked gold at median 49/50 on the 200k chain).
+                # sees the pair at a random doc-token cap. MEASURED
+                # NEGATIVE at 200k scale (two attempts — full-length
+                # direct recall 0.994 -> 0.719 and -> 0.125): deleting
+                # body prose destroys query-paraphrase generalization,
+                # invisibly to train accuracy. Kept off-default as the
+                # documented experiment; docs/performance.md
+                # "Truncation-augmented training".
                 lo, hi = self.truncation_caps
                 chunk = [
                     (

@@ -206,13 +206,17 @@ def main() -> None:
         build_phase(args)
         return
 
-    if not (args.work / "index.meta.json").exists() or not (
+    if not (args.work / "manifest.json").exists() or not (
         args.work / "queries.txt"
     ).exists():
         log("building artifacts (subprocess) ...")
+        # --phase build goes LAST: argparse takes the final occurrence,
+        # so a caller's explicit --phase measure cannot leak into the
+        # child and recurse.
         build = subprocess.run(
-            [sys.executable, __file__, "--phase", "build"]
-            + [a for a in sys.argv[1:] if a != "--keep-work"],
+            [sys.executable, __file__]
+            + [a for a in sys.argv[1:] if a != "--keep-work"]
+            + ["--phase", "build"],
             cwd=REPO, timeout=3600,
         )
         if build.returncode != 0:

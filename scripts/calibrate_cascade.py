@@ -138,6 +138,12 @@ def main() -> None:
         # cascade cap is in question), and it skips the corpus embed.
         work = Path(args.data_dir)
         store = DeclarationStore(work / "declarations.db")
+
+        from lean_explore_tpu.evaluation import guard_store_vocab
+
+        # A caller-owned index can mismatch the checkpoints just as
+        # silently as a rebuilt one — guard both paths.
+        guard_store_vocab(store, emb_client.tokenizer)
     else:
         work = args.out.parent / "calibrate_work"
         if work.exists():
@@ -152,19 +158,9 @@ def main() -> None:
             ids.append(decl.id)
             texts.append(decl.informalization)
 
-        from lean_explore_tpu.models.tokenizer import unk_fraction
+        from lean_explore_tpu.evaluation import guard_store_vocab
 
-        unk = unk_fraction(emb_client.tokenizer, texts)
-        if unk > 0.2:
-            raise SystemExit(
-                f"vocabulary mismatch: {unk:.0%} of corpus tokens are <unk> "
-                "under the embedder's tokenizer — these checkpoints were "
-                "trained on a different corpus regime (e.g. short-doc "
-                "checkpoints vs --body-sentences > 1); the measurement would "
-                "describe uniform <unk> filler, not the intended text. Train "
-                "matching checkpoints first (scripts/train_*_e2e.py with the "
-                "same --body-sentences)."
-            )
+        guard_store_vocab(store, emb_client.tokenizer)
         vecs = emb_client.embed_sync(texts, is_query=False)
         store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
         build_index_artifacts(store, work)

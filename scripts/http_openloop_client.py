@@ -91,7 +91,15 @@ def main() -> None:
                 try:
                     sent = sock.send(state["out"])
                 except OSError:
-                    sent = 0
+                    # Refused/RST: retire the connection (leaving it
+                    # registered would re-fire EVENT_WRITE every loop
+                    # and busy-spin the 1-core host until --timeout).
+                    # t_done stays None -> excluded from latencies;
+                    # empty buf fails the 200-status check -> not ok.
+                    sel.unregister(sock)
+                    sock.close()
+                    pending -= 1
+                    continue
                 state["out"] = state["out"][sent:]
                 if not state["out"]:
                     sel.modify(sock, selectors.EVENT_READ, state)
