@@ -1,35 +1,72 @@
-"""Rich terminal rendering for search results (reference cli/display.py)."""
+"""Rich terminal rendering for search results.
+
+Covers the surface of the reference's cli/display.py (query header,
+result count + processing time, per-result code/docstring/informalization
+sections, truncation notice) with this framework's own layout: one
+compact panel per result with labeled sections inline, instead of the
+reference's nested per-field panels.
+"""
 
 import textwrap
 
-from rich.console import Console
+from rich.console import Console, Group
 from rich.panel import Panel
+from rich.text import Text
 
 from lean_explore_tpu.models import SearchResponse
 
-PANEL_WIDTH = 80
+WRAP_WIDTH = 76
+
+_SECTIONS = (
+    # (attribute, label, label style)
+    ("source_text", "code", "yellow"),
+    ("docstring", "doc", "cyan"),
+    ("informalization", "informal", "magenta"),
+)
 
 
-def _fixed_width(text: str | None, width: int = PANEL_WIDTH) -> str:
-    """Wrap paragraphs and pad every line to a fixed width so panels align."""
-    blank = " " * width
-    if not text:
-        return blank
-    lines: list[str] = []
-    paragraphs = text.split("\n\n")
-    for index, paragraph in enumerate(paragraphs):
+def _wrap(text: str, indent: str = "  ") -> str:
+    """Wrap prose paragraphs; leave single lines of code untouched."""
+    out: list[str] = []
+    for paragraph in text.split("\n"):
         if not paragraph.strip():
-            if index < len(paragraphs) - 1:
-                lines.append(blank)
+            out.append("")
             continue
-        for raw_line in paragraph.splitlines():
-            wrapped = textwrap.wrap(
-                raw_line, width=width, break_long_words=True
-            ) or [""]
-            lines.extend(segment.ljust(width) for segment in wrapped)
-        if index < len(paragraphs) - 1:
-            lines.append(blank)
-    return "\n".join(lines) if lines else blank
+        out.extend(
+            textwrap.wrap(
+                paragraph,
+                width=WRAP_WIDTH,
+                initial_indent=indent,
+                subsequent_indent=indent,
+                break_long_words=True,
+            )
+        )
+    return "\n".join(out)
+
+
+def _result_panel(rank: int, item) -> Panel:
+    head = Text()
+    head.append(f"{item.name}", style="bold")
+    head.append(f"   {item.module}", style="green")
+    head.append(f"   #{item.id}", style="dim")
+    body: list = [head]
+    if item.source_link:
+        body.append(Text(item.source_link, style=f"dim link {item.source_link}"))
+    for attr, label, style in _SECTIONS:
+        content = getattr(item, attr, None)
+        if not content:
+            continue
+        section = Text()
+        section.append(f"{label}\n", style=f"bold {style}")
+        section.append(_wrap(content))
+        body.append(section)
+    return Panel(
+        Group(*body),
+        title=f"[bold]{rank}[/bold]",
+        title_align="left",
+        border_style="bright_black",
+        padding=(0, 1),
+    )
 
 
 def display_search_results(
@@ -37,58 +74,23 @@ def display_search_results(
     display_limit: int = 5,
     console: Console | None = None,
 ) -> None:
-    """Render results as per-field rich panels."""
+    """Render a SearchResponse as one panel per result."""
     console = console or Console()
-    console.print(
-        Panel(
-            f"[bold cyan]Search Query:[/bold cyan] {response.query}",
-            expand=False,
-            border_style="dim",
-        )
-    )
+    console.rule(f"[bold]{response.query}[/bold]")
     shown = min(len(response.results), display_limit)
-    timing = (
-        f"Time: {response.processing_time_ms}ms"
-        if response.processing_time_ms
-        else ""
-    )
-    console.print(f"Showing {shown} of {response.count} results. {timing}")
+    stats = f"{shown} of {response.count} results"
+    if response.processing_time_ms:
+        stats += f" · {response.processing_time_ms} ms"
+    console.print(Text(stats, style="dim"))
     if not response.results:
         console.print("[yellow]No results found.[/yellow]")
         return
-    console.print("")
 
     for i, item in enumerate(response.results[:display_limit]):
-        console.rule(f"[bold]Result {i + 1}[/bold]", style="dim")
-        console.print(f"[bold cyan]ID:[/bold cyan] [dim]{item.id}[/dim]")
-        console.print(f"[bold cyan]Name:[/bold cyan] {item.name}")
-        console.print(f"[bold cyan]Module:[/bold cyan] [green]{item.module}[/green]")
-        console.print(
-            f"[bold cyan]Source:[/bold cyan] "
-            f"[link={item.source_link}]{item.source_link}[/link]"
-        )
-        sections = [
-            (item.source_text, "Code", "green"),
-            (item.docstring, "Docstring", "blue"),
-            (item.informalization, "Informalization", "magenta"),
-        ]
-        for content, title, color in sections:
-            if content:
-                console.print(
-                    Panel(
-                        _fixed_width(content),
-                        title=f"[bold {color}]{title}[/bold {color}]",
-                        border_style=color,
-                        expand=False,
-                        padding=(0, 1),
-                    )
-                )
-        if i < shown - 1:
-            console.print("")
+        console.print(_result_panel(i + 1, item))
 
-    console.rule(style="dim")
-    if len(response.results) > shown:
+    hidden = len(response.results) - shown
+    if hidden > 0:
         console.print(
-            f"...and {len(response.results) - shown} more results received "
-            "but not shown due to limit."
+            Text(f"+{hidden} more received but not shown (raise -n).", style="dim")
         )

@@ -1,8 +1,8 @@
-"""Rich display rendering tests (reference cli/display.py behaviors)."""
+"""Rich display rendering tests (search-result rendering surface)."""
 
 from rich.console import Console
 
-from lean_explore_tpu.cli.display import _fixed_width, display_search_results
+from lean_explore_tpu.cli.display import _wrap, display_search_results
 from lean_explore_tpu.models import SearchResponse, SearchResult
 
 
@@ -27,23 +27,23 @@ def make_result(i=1, **overrides):
     return SearchResult(**base)
 
 
-class TestFixedWidth:
-    def test_pads_to_width(self):
-        lines = _fixed_width("short", width=20).splitlines()
-        assert all(len(line) == 20 for line in lines)
+class TestWrap:
+    def test_wraps_long_prose(self):
+        out = _wrap("word " * 50)
+        lines = out.splitlines()
+        assert len(lines) > 2
+        assert all(len(line) <= 78 for line in lines)
 
-    def test_wraps_long_lines(self):
-        out = _fixed_width("word " * 50, width=30)
-        assert all(len(line) == 30 for line in out.splitlines())
-        assert len(out.splitlines()) > 5
+    def test_indents_every_line(self):
+        out = _wrap("word " * 50)
+        assert all(line.startswith("  ") for line in out.splitlines())
 
-    def test_none_and_empty(self):
-        assert _fixed_width(None, width=10) == " " * 10
-        assert _fixed_width("", width=10) == " " * 10
+    def test_blank_paragraph_preserved(self):
+        out = _wrap("para one\n\npara two")
+        assert "" in out.splitlines()
 
-    def test_paragraph_separation(self):
-        out = _fixed_width("para one\n\npara two", width=12)
-        assert " " * 12 in out.splitlines()
+    def test_short_code_untouched(self):
+        assert _wrap("def f := 1") == "  def f := 1"
 
 
 class TestDisplay:
@@ -52,10 +52,11 @@ class TestDisplay:
             query="nat", results=[make_result()], count=1, processing_time_ms=42
         )
         text = render(resp)
-        assert "Search Query: nat" in text
+        assert "nat" in text
         assert "Nat.thing1" in text
-        assert "Time: 42ms" in text
-        assert "Code" in text and "Docstring" in text and "Informalization" in text
+        assert "42 ms" in text
+        assert "code" in text and "doc" in text and "informal" in text
+        assert "docstring 1" in text and "informal 1" in text
 
     def test_no_results(self):
         resp = SearchResponse(query="zzz", results=[], count=0)
@@ -66,9 +67,9 @@ class TestDisplay:
             query="q", results=[make_result(i) for i in range(1, 5)], count=4
         )
         text = render(resp, limit=2)
-        assert "Result 1" in text and "Result 2" in text
-        assert "Result 3" not in text
-        assert "more results" in text
+        assert "Nat.thing1" in text and "Nat.thing2" in text
+        assert "Nat.thing3" not in text
+        assert "+2 more" in text
 
     def test_optional_sections_omitted(self):
         resp = SearchResponse(
@@ -77,6 +78,13 @@ class TestDisplay:
             count=1,
         )
         text = render(resp)
-        assert "Docstring" not in text
-        assert "Informalization" not in text
-        assert "Code" in text
+        assert "doc\n" not in text
+        assert "informal\n" not in text
+        assert "code" in text
+
+    def test_count_and_shown(self):
+        resp = SearchResponse(
+            query="q", results=[make_result(i) for i in range(1, 4)], count=9
+        )
+        text = render(resp, limit=2)
+        assert "2 of 9 results" in text
