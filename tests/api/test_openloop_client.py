@@ -104,3 +104,33 @@ class TestOpenLoopClient:
         # server delay but the total far under 2x (serial would be 0.4s+).
         assert out["latency_ms"]["p50"] >= 200
         assert out["seconds"] < 0.45
+
+    def test_dead_server_fails_fast(self, tmp_path):
+        """Connection-refused sockets are retired, not spun on: the
+        client must report n_ok=0 and exit well before --timeout (the
+        pre-fix behavior kept errored sockets registered for
+        EVENT_WRITE and busy-looped until the deadline)."""
+        # A fresh unused port: bind, grab the number, close the listener.
+        import socket
+
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        dead_port = probe.getsockname()[1]
+        probe.close()
+
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("q1\nq2\nq3")
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [
+                sys.executable, str(CLIENT),
+                f"http://127.0.0.1:{dead_port}/api/v2", str(qfile),
+                "--limit", "5", "--api-key", "okkey", "--timeout", "30",
+            ],
+            capture_output=True, text=True, timeout=25, cwd=REPO,
+        )
+        assert time.perf_counter() - t0 < 10
+        assert proc.returncode == 1
+        out = json.loads(proc.stdout.strip())
+        assert out["n_ok"] == 0
+        assert out["latency_ms"] is None  # no connection ever completed
