@@ -47,6 +47,23 @@ def main() -> None:
     parser.add_argument(
         "--rerank-tops", type=int, nargs="+", default=[50, 25, 16, 8]
     )
+    parser.add_argument(
+        "--cascade", type=str, default="32,8",
+        help="cascade caps for the second arm at each rerank_top (pick "
+        "the chain's calibrated point — scripts/calibrate_cascade.py)",
+    )
+    parser.add_argument(
+        "--data-dir", type=str, default=None,
+        help="evaluate against an EXISTING index (e.g. a train run's "
+        "artifacts/) — skips the corpus embed; corpus args still "
+        "generate the labeled eval queries and must match the index",
+    )
+    parser.add_argument(
+        "--body-sentences", type=int, default=1,
+        help="body sentences per document (match the index's corpus)",
+    )
+    parser.add_argument("--emb-max-length", type=int, default=64)
+    parser.add_argument("--rr-max-length", type=int, default=128)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="tpu")
     args = parser.parse_args()
@@ -69,25 +86,40 @@ def main() -> None:
         n_concepts=args.n_concepts,
         n_eval=args.n_eval,
         seed=args.seed,
+        body_sentences=args.body_sentences,
     )
-    work = args.out.parent / "rerank_top_work"
-    if work.exists():
-        shutil.rmtree(work)
-    work.mkdir(parents=True)
-    store = DeclarationStore(work / "declarations.db", create=True)
-    store.insert_many(corpus.declarations)
-
-    log("embedding corpus ...")
     emb_client = EmbeddingClient(
-        str(args.embedder), max_length=64, batch_size=256, dtype="float32"
+        str(args.embedder), max_length=args.emb_max_length, batch_size=256,
+        dtype="float32",
     )
-    ids, texts = [], []
-    for decl in store.iter_all(with_embeddings=False):
-        ids.append(decl.id)
-        texts.append(decl.informalization)
-    vecs = emb_client.embed_sync(texts, is_query=False)
-    store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
-    build_index_artifacts(store, work)
+
+    if args.data_dir is not None:
+        work = Path(args.data_dir)
+        store = DeclarationStore(work / "declarations.db")
+
+        from lean_explore_tpu.evaluation import guard_store_vocab
+
+        guard_store_vocab(store, emb_client.tokenizer)
+    else:
+        work = args.out.parent / "rerank_top_work"
+        if work.exists():
+            shutil.rmtree(work)
+        work.mkdir(parents=True)
+        store = DeclarationStore(work / "declarations.db", create=True)
+        store.insert_many(corpus.declarations)
+
+        log("embedding corpus ...")
+        ids, texts = [], []
+        for decl in store.iter_all(with_embeddings=False):
+            ids.append(decl.id)
+            texts.append(decl.informalization)
+
+        from lean_explore_tpu.evaluation import guard_store_vocab
+
+        guard_store_vocab(store, emb_client.tokenizer)
+        vecs = emb_client.embed_sync(texts, is_query=False)
+        store.set_embeddings(list(zip(ids, (v.tolist() for v in vecs))))
+        build_index_artifacts(store, work)
 
     engine = SearchEngine(
         str(work),
@@ -96,14 +128,17 @@ def main() -> None:
         embedding_client=emb_client,
         reranker_client=RerankerClient(
             str(args.reranker), model_dir=args.reranker,
-            max_length=128, dtype="float32",
+            max_length=args.rr_max_length, dtype="float32",
         ),
     )
 
-    report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval},
+    report = {"task": {"n_decls": args.n_decls, "n_eval": args.n_eval,
+                       "body_sentences": args.body_sentences,
+                       "cascade": args.cascade,
+                       "data_dir": args.data_dir},
               "results": {}}
     for top in args.rerank_tops:
-        for cascade in (None, "32,8"):
+        for cascade in (None, args.cascade):
             if cascade is None:
                 os.environ.pop("LEAN_EXPLORE_RERANK_CASCADE", None)
                 label = f"top{top}"
@@ -118,7 +153,8 @@ def main() -> None:
     os.environ.pop("LEAN_EXPLORE_RERANK_CASCADE", None)
 
     args.out.write_text(json.dumps(report, indent=2))
-    shutil.rmtree(work)
+    if args.data_dir is None:  # never delete a caller-owned index
+        shutil.rmtree(work)
     print(json.dumps(report["results"]))
 
 
