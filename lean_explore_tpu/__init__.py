@@ -20,7 +20,7 @@ JAX (mirrors the reference's lazy-import discipline, search/__init__.py:12-29).
 from importlib import import_module
 from typing import TYPE_CHECKING
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 _LAZY_ATTRS = {
     "Config": "lean_explore_tpu.config",
