@@ -8,6 +8,7 @@ Service.search_batch call.
 """
 
 import asyncio
+import concurrent.futures
 import json
 import threading
 
@@ -77,9 +78,11 @@ class CountingService(Service):
     def __init__(self, engine):
         super().__init__(engine=engine)
         self.batch_calls: list[list[str]] = []
+        self.batch_kwargs: list[dict] = []
 
     async def search_batch(self, queries, **kwargs):
         self.batch_calls.append(list(queries))
+        self.batch_kwargs.append(dict(kwargs))
         return await super().search_batch(queries, **kwargs)
 
 
@@ -329,3 +332,34 @@ class TestCoalescing:
         assert second.results[0].name == "Real.sqrt"
         assert len(second.results) > len(first.results)
         assert len(service.batch_calls[before:]) == 1
+
+    def test_mixed_rerank_top_splits_the_group(self, live_server):
+        """rerank_top changes device work per query, so one drain with
+        two rerank_top values must run TWO engine calls (group_key
+        split) — and both requests still get correct answers."""
+        import urllib.request
+
+        base_url, service = live_server
+        before = len(service.batch_calls)
+
+        def fetch(rerank_top):
+            req = urllib.request.Request(
+                f"{base_url}/search?q=square+root&limit=3"
+                f"&rerank_top={rerank_top}",
+                headers={"Authorization": "Bearer sekrit"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read())
+
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            futures = [pool.submit(fetch, top) for top in (0, 25)]
+            no_rerank, reranked = [f.result() for f in futures]
+
+        # Both served; the reranked arm ranks the target first (the
+        # no-rerank arm's fusion order is fixture-dependent — the group
+        # split, not the ranking, is what this test pins).
+        assert no_rerank["results"] and reranked["results"]
+        assert reranked["results"][0]["name"] == "Real.sqrt"
+        new_kwargs = service.batch_kwargs[before:]
+        assert len(new_kwargs) == 2
+        assert sorted(k["rerank_top"] for k in new_kwargs) == [0, 25]
